@@ -1,0 +1,69 @@
+"""Vectorized magic-byte MIME sniffer.
+
+Replaces the reference's two paths:
+- Tika detect on the first 1000 bytes, escalating to a full-payload detect
+  only for application/octet-stream (cc/warc/Extractor.java:110-139,
+  sniff budget cc/warc/ExtractorConfig.java:36);
+- `file -b --mime-type` subprocess fan-out (cc/BatchFileIder.java:42-274).
+
+One Arrow-batched pandas UDF over binary prefixes; no subprocesses, no
+per-row Python UDFs. The two-phase escalation is expressed at the operator
+level with an ``F.when`` split so only octet-stream rows pay the full-body
+pass (see operators/extraction.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+SNIFF_BUDGET_BYTES = 1000  # ExtractorConfig.java:36
+
+# (magic bytes, offset, mime) — ordered; first hit wins.
+_MAGIC: list[tuple[bytes, int, str]] = [
+    (b"%PDF", 0, "application/pdf"),
+    (b"PK\x03\x04", 0, "application/zip"),
+    (b"\x89PNG\r\n\x1a\n", 0, "image/png"),
+    (b"GIF87a", 0, "image/gif"),
+    (b"GIF89a", 0, "image/gif"),
+    (b"\xff\xd8\xff", 0, "image/jpeg"),
+    (b"\x1f\x8b", 0, "application/gzip"),
+    (b"<!DOCTYPE html", 0, "text/html"),
+    (b"<html", 0, "text/html"),
+    (b"{\\rtf", 0, "application/rtf"),
+    (b"OggS", 0, "audio/ogg"),
+    (b"ID3", 0, "audio/mpeg"),
+    (b"RIFF", 0, "audio/x-wav"),  # refined below via WAVE/AVI tag at offset 8
+    (b"ftyp", 4, "video/mp4"),
+    (b"\x00\x00\x00\x0c\x6a\x50", 0, "image/jp2"),
+]
+
+
+def _sniff_one(b: bytes | None) -> str | None:
+    if b is None:
+        return None
+    if len(b) == 0:
+        return "application/octet-stream"
+    for magic, off, mime in _MAGIC:
+        if b[off : off + len(magic)] == magic:
+            if magic == b"RIFF":
+                tag = b[8:12]
+                if tag == b"AVI ":
+                    return "video/x-msvideo"
+                if tag == b"WEBP":
+                    return "image/webp"
+                return "audio/x-wav"
+            return mime
+    # printable-ish heuristic for text (Tika's fallback territory)
+    sample = b[:256]
+    printable = sum(32 <= c < 127 or c in (9, 10, 13) for c in sample)
+    if printable >= 0.95 * len(sample):
+        return "text/plain"
+    return "application/octet-stream"
+
+
+@F.pandas_udf(StringType())
+def sniff_mime(prefix: pd.Series) -> pd.Series:
+    """Detect MIME from the first ``SNIFF_BUDGET_BYTES`` of a payload."""
+    return prefix.map(_sniff_one)
