@@ -1,0 +1,109 @@
+"""Frontier pipeline stages: harvest → canonicalize → candidate dedup →
+politeness schedule.
+
+Replaces: the reference's outlink harvester (wikilinks/
+ExternalLinkExtractor.java:106-158 — URL extraction + regex mapper chain +
+URI-validity), and its single FIFO work queue (no politeness exists in the
+reference; the north rule adds the per-host priority queue).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import url_hash64
+from ..functions.urls import canonicalize_url, extract_urls, url_filter_ok
+
+FRONTIER_SCHEMA = (
+    "url string, url_canon string, url_hash long, host string, "
+    "priority double, discovered_at timestamp"
+)
+
+
+def harvest_outlinks(docs: DataFrame) -> DataFrame:
+    """Interleaved documents → (doc_id, span_order, url).
+
+    posexplode keeps span order (the per-row invariant is span-sequence
+    equality on (kind, text, media_ref, order)); only text spans are
+    scanned; extraction is one Arrow-batched pandas UDF over the span text.
+    """
+    spans = docs.select(
+        "doc_id", F.posexplode("spans").alias("span_order", "span")
+    ).filter(F.col("span.kind") == "text")
+    return spans.select(
+        "doc_id",
+        "span_order",
+        F.explode(extract_urls(F.col("span.text"))).alias("url"),
+    )
+
+
+def canonical_candidates(
+    urls: DataFrame,
+    url_col: str = "url",
+    priority: Column | None = None,
+    discovered_at: Column | None = None,
+) -> DataFrame:
+    """Candidate frontier rows: canonicalize (RFC 3986 UDF) → filter chain
+    (fused JVM predicate, evaluated on the canonical form) → xxhash64 →
+    within-batch dedup (first occurrence by deterministic order).
+
+    Priority/discovered_at default to key-derived deterministic values, so
+    any parallelism level yields the same frontier (north_rule resume +
+    scaling clauses both need this).
+    """
+    c = urls.withColumn("url_canon", canonicalize_url(F.col(url_col)))
+    c = c.filter(url_filter_ok(F.col("url_canon")))
+    c = c.withColumn("url_hash", url_hash64("url_canon")).withColumn(
+        "host", F.parse_url("url_canon", F.lit("HOST"))
+    )
+    pr = priority if priority is not None else (F.pmod(F.col("url_hash"), F.lit(1000)) / 1000.0)
+    ts = (
+        discovered_at
+        if discovered_at is not None
+        else F.timestamp_seconds(F.lit(1735689600) + F.pmod(F.col("url_hash"), F.lit(86400)))
+    )
+    c = c.withColumn("priority", pr.cast("double")).withColumn("discovered_at", ts)
+    # within-batch dedup: one row per url_hash, deterministic winner
+    w = Window.partitionBy("url_hash").orderBy(
+        F.desc("priority"), F.asc("discovered_at"), F.asc("url_canon")
+    )
+    return (
+        c.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("url", "url_canon", "url_hash", "host", "priority", "discovered_at")
+    )
+
+
+def politeness_schedule(
+    frontier: DataFrame,
+    host_budget: int = 10,
+    salt_k: int = 8,
+) -> DataFrame:
+    """Per-host politeness priority queue: at most ``host_budget`` URLs per
+    host per round, best-priority first (SURVEY §2.5 O4 — the engine's only
+    window function).
+
+    Hot-host skew (north_rule clause): a naive
+    ``Window.partitionBy(host)`` puts a 30%-hot host in ONE task. Two-phase
+    top-k instead: (1) pre-rank within (host, salt) where
+    salt = pmod(url_hash, salt_k) — the hot host spreads over salt_k tasks
+    and each keeps only host_budget rows; (2) exact final rank over host on
+    the ≤ salt_k × host_budget survivors. Ordering keys are data-derived
+    only (priority, discovered_at, url_hash) — never partition ids — so the
+    schedule is identical at any parallelism (N vs 4N clause).
+    """
+    order = [F.desc("priority"), F.asc("discovered_at"), F.asc("url_hash")]
+    salted = frontier.withColumn("__salt", F.pmod(F.col("url_hash"), F.lit(salt_k)))
+    w1 = Window.partitionBy("host", "__salt").orderBy(*order)
+    pre = (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= host_budget)
+        .drop("__rn", "__salt")
+    )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        pre.withColumn("fetch_rank", F.row_number().over(w2))
+        .filter(F.col("fetch_rank") <= host_budget)
+    )

@@ -1,0 +1,176 @@
+"""Scheduler end-to-end tests: politeness budget, kill/resume equivalence,
+parallelism invariance, and equivalence against an independent pure-Python
+reference simulator of the crawl semantics (SURVEY §5.3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simplecommoncrawlextractor_spark.plans import CrawlScheduler, StateStore
+from simplecommoncrawlextractor_spark.sources import seed_frontier
+
+
+def _run(spark, root, rounds, n_seeds=200, **kw):
+    store = StateStore(root)
+    sched = CrawlScheduler(spark, store, host_budget=4, salt_k=4, n_buckets=8, **kw)
+    sched.bootstrap(seed_frontier(spark, n=n_seeds))
+    for _ in range(rounds):
+        sched.step()
+    return sched
+
+
+def _order_rows(sched):
+    return [tuple(r) for r in sched.crawl_order().collect()]
+
+
+def test_politeness_budget_enforced(spark, tmp_path):
+    sched = _run(spark, str(tmp_path / "s1"), rounds=2)
+    log = sched.crawl_order()
+    per_host = log.groupBy("round", "host").count()
+    assert per_host.filter(F.col("count") > 4).count() == 0
+    # the hot host is saturated every round
+    hot = log.filter(F.col("host") == "hot.example.com").groupBy("round").count()
+    assert all(r["count"] == 4 for r in hot.collect())
+
+
+def test_no_url_fetched_twice(spark, tmp_path):
+    sched = _run(spark, str(tmp_path / "s2"), rounds=3)
+    log = sched.crawl_order()
+    assert log.count() == log.select("URL").distinct().count()
+
+
+def test_kill_resume_equivalence(spark, tmp_path):
+    """Uninterrupted 4 rounds == 2 rounds + 'kill' + resume for 2 more."""
+    a = _run(spark, str(tmp_path / "uninterrupted"), rounds=4)
+
+    b_root = str(tmp_path / "resumed")
+    b1 = _run(spark, b_root, rounds=2)
+    del b1  # "kill": drop every in-memory handle; state lives on disk only
+    b2 = CrawlScheduler(spark, StateStore(b_root), host_budget=4, salt_k=4, n_buckets=8)
+    assert b2.round_no() == 2
+    b2.run(2)
+
+    assert _order_rows(a) == _order_rows(b2)
+    # URL-seen membership identical too
+    sa = {r["url_hash"] for r in a.url_seen().collect()}
+    sb = {r["url_hash"] for r in b2.url_seen().collect()}
+    assert sa == sb
+
+
+def test_parallelism_invariance(spark, tmp_path):
+    """Same crawl at different shuffle parallelism → identical ordering
+    (the sandbox proxy for the N vs 4N cluster-size clause: ordering keys
+    are data-derived, never partition-derived)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        a = _run(spark, str(tmp_path / "p2"), rounds=3)
+        rows_a = _order_rows(a)
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        b = _run(spark, str(tmp_path / "p16"), rounds=3)
+        rows_b = _order_rows(b)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert rows_a == rows_b
+
+
+def test_matches_pure_python_reference_simulator(spark, tmp_path):
+    """Independent sequential reimplementation of the crawl semantics
+    (seen-set + per-host priority queue + deterministic fetch/outlinks) —
+    the Spark engine must produce the identical crawl ordering.
+
+    xxhash64 values are oracled from Spark (the simulator tests scheduling
+    semantics, not the hash function)."""
+    HOST_BUDGET, ROUNDS, N = 4, 3, 120
+
+    def spark_hashes(urls):
+        if not urls:
+            return {}
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return {
+            r["url"]: r["h"]
+            for r in df.select("url", F.xxhash64("url").alias("h")).collect()
+        }
+
+    def pmod(h, n):
+        return ((h % n) + n) % n
+
+    def base(n, b):
+        digits = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        if n == 0:
+            return "0"
+        out = ""
+        while n:
+            out = digits[n % b] + out
+            n //= b
+        return out
+
+    # --- seed frontier (mirror sources.synth.seed_frontier) ---
+    seeds = []
+    for k in range(N):
+        host = "hot.example.com" if k % 10 < 3 else f"seed{k % 997}.example.com"
+        seeds.append((f"https://{host}/start/{k}", (k * 37 % 1000) / 1000.0, 1735689600 + k))
+
+    hashes = spark_hashes([u for u, _, _ in seeds])
+    frontier = {}
+    for url, pr, ts in seeds:
+        h = hashes[url]
+        host = url.split("//")[1].split("/")[0]
+        row = (url, h, host, pr, ts)
+        if h not in frontier:
+            frontier[h] = row
+    seen = set()
+    crawl = []  # (round, host, rank, url)
+
+    for rnd in range(1, ROUNDS + 1):
+        by_host = {}
+        for url, h, host, pr, ts in frontier.values():
+            by_host.setdefault(host, []).append((url, h, host, pr, ts))
+        scheduled = []
+        for host, rows in by_host.items():
+            rows.sort(key=lambda r: (-r[3], r[4], r[1]))
+            for rank, r in enumerate(rows[:HOST_BUDGET], 1):
+                scheduled.append((rnd, host, rank, r[0], r[1]))
+        for _, _, _, _, h in scheduled:
+            seen.add(h)
+            del frontier[h]
+        crawl.extend((rnd, host, rank, url) for rnd, host, rank, url, _ in scheduled)
+
+        # children of successful fetches (mirror plans.fetch)
+        children = []
+        for rnd_, host, rank, url, h in scheduled:
+            status = (
+                404 if pmod(h, 23) == 0 else 503 if pmod(h, 29) == 0
+                else -1 if pmod(h, 31) == 0 else 200
+            )
+            body_len = 60_000_000 if pmod(h, 101) == 0 else pmod(h, 200_000) + 1000
+            if status != 200 or body_len > 50_000_000:
+                continue
+            fan = pmod(h, 5)
+            for i in range(1, fan + 1):
+                if pmod(h + i, 5) == 0:
+                    chost = "x" + base(pmod(h + i, 499), 16) + ".example.com"
+                else:
+                    chost = host
+                children.append(f"https://{chost}/d/{base(abs(h), 36)}/{i}")
+        # canonicalize: lowercase scheme/host (path untouched)
+        canon = []
+        for u in children:
+            scheme, rest = u.split("://", 1)
+            chost, _, path = rest.partition("/")
+            canon.append(f"{scheme.lower()}://{chost.lower()}/{path}")
+        ch = spark_hashes(sorted(set(canon)))
+        for u in canon:
+            h = ch[u]
+            if h in seen or h in frontier:
+                continue
+            host = u.split("//")[1].split("/")[0]
+            pr = pmod(h, 1000) / 1000.0
+            ts = 1735689600 + pmod(h, 86400)
+            frontier[h] = (u, h, host, pr, ts)
+
+    sched = _run(spark, str(tmp_path / "vs_sim"), rounds=ROUNDS, n_seeds=N)
+    got = [tuple(r) for r in sched.crawl_order().collect()]
+    want = sorted(crawl, key=lambda r: (r[0], r[1], r[2]))
+    assert got == [tuple(map(lambda x: x, w)) for w in want]
+    assert {r["url_hash"] for r in sched.url_seen().collect()} == seen
