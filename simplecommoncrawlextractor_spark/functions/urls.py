@@ -81,25 +81,63 @@ def _canon_one(u: str) -> str | None:
     return urlunsplit((scheme, netloc, path, query, ""))  # fragment dropped
 
 
+_DECOMP_RE = (
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://"
+    r"(?P<host>[A-Za-z0-9\-]+(?:\.[A-Za-z0-9\-]+)*)\.?"
+    r"(?::(?P<port>\d+))?"
+    r"(?P<path>/[^?#]*)?"
+    r"(?:\?(?P<query>[^#]*))?"
+    r"(?:#.*)?$"
+)
+
+
+def _sort_query(q: str) -> str:
+    return urlencode(sorted(parse_qsl(q, keep_blank_values=True)))
+
+
 @F.pandas_udf(StringType())
 def canonicalize_url(url: pd.Series) -> pd.Series:
-    """Vectorized canonicalizer: lowercase scheme/host, strip default ports
-    and fragments, sort query params, collapse path slashes. Null out
-    unparseable / non-http(s) URLs (the reference drops these).
+    """Vectorized canonicalizer: lowercase scheme/host, strip default ports,
+    trailing host dots and fragments, sort query params, collapse path
+    slashes, path defaults to '/'. Nulls out unparseable / non-http(s)
+    URLs (the reference drops those after its URI-validity check,
+    URLUtil.java:39-47).
 
-    Fast path: rows that are already plain lowercase, query-free and
-    fragment-free http(s) URLs skip Python parsing entirely (pandas str ops
-    on the whole Arrow batch); only the remainder pays ``urlsplit``.
+    Three tiers, fastest first:
+    1. already-canonical rows: one regex match, returned untouched;
+    2. regex-decomposable rows: ALL transforms are pandas str ops over the
+       Arrow batch — per-row Python only for the minority with a query
+       string (param sorting has no vectorized form);
+    3. leftovers (userinfo, IPv6 brackets, exotic syntax): urlsplit row-wise.
     """
     s = url.astype("string")
-    # provably-canonical shape: lowercase scheme + dotted lowercase host
-    # (no trailing dot, no port), non-empty path segments, no query/fragment/
-    # percent-escapes. Matching rows are returned untouched.
     simple = s.str.match(
         r"^https?://[a-z0-9\-]+(\.[a-z0-9\-]+)+/(?:[a-z0-9._~\-]+/)*[a-z0-9._~\-]*$",
         na=False,
     )
-    out = s.where(simple, s.map(lambda u: _canon_one(u) if isinstance(u, str) else None))
+    rest = s[~simple]
+    parts = rest.str.extract(_DECOMP_RE)
+    scheme = parts["scheme"].str.lower()
+    decomposable = scheme.isin(["http", "https"]) & parts["host"].notna()
+
+    host = parts["host"].str.lower()
+    port = parts["port"]
+    default_port = (scheme + ":" + port.fillna("")).isin(["http:80", "https:443"])
+    netloc = host.where(port.isna() | default_port, host + ":" + port)
+    path = parts["path"].fillna("/").str.replace(r"/{2,}", "/", regex=True)
+    q = parts["query"]
+    has_q = q.notna() & (q != "")
+    sorted_q = q[has_q].map(_sort_query) if has_q.any() else q[has_q]
+    rebuilt = scheme + "://" + netloc + path
+    rebuilt = rebuilt.where(~has_q, rebuilt + "?" + sorted_q)
+    rebuilt = rebuilt.where(decomposable, None)
+
+    # tier 3: whatever the decomposition regex rejected
+    hard = rest[~decomposable]
+    fixed = hard.map(lambda u: _canon_one(u) if isinstance(u, str) else None)
+
+    out = s.copy()
+    out[~simple] = rebuilt.where(decomposable, fixed)
     return out.astype(object).where(out.notna(), None)
 
 

@@ -65,14 +65,33 @@ def canonical_candidates(
         else F.timestamp_seconds(F.lit(1735689600) + F.pmod(F.col("url_hash"), F.lit(86400)))
     )
     c = c.withColumn("priority", pr.cast("double")).withColumn("discovered_at", ts)
-    # within-batch dedup: one row per url_hash, deterministic winner
-    w = Window.partitionBy("url_hash").orderBy(
-        F.desc("priority"), F.asc("discovered_at"), F.asc("url_canon")
+    return dedup_by_hash(c)
+
+
+def dedup_by_hash(c: DataFrame) -> DataFrame:
+    """One row per url_hash, deterministic winner (best priority, earliest
+    discovery, smallest canonical URL). ``min_by`` on a lexicographic key
+    struct instead of a row_number window: aggregation gets map-side
+    partial combine, so the shuffle carries one row per (partition,
+    url_hash) instead of every duplicate — the difference between O(dups)
+    and O(distinct) shuffle bytes at crawl scale."""
+    key = F.struct(
+        (-F.col("priority")).alias("np"),
+        F.col("discovered_at").alias("d"),
+        F.col("url_canon").alias("u"),
     )
+    row = F.struct("url", "url_canon", "host", "priority", "discovered_at")
     return (
-        c.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("url", "url_canon", "url_hash", "host", "priority", "discovered_at")
+        c.groupBy("url_hash")
+        .agg(F.min_by(row, key).alias("r"))
+        .select(
+            F.col("r.url").alias("url"),
+            F.col("r.url_canon").alias("url_canon"),
+            F.col("url_hash"),
+            F.col("r.host").alias("host"),
+            F.col("r.priority").alias("priority"),
+            F.col("r.discovered_at").alias("discovered_at"),
+        )
     )
 
 

@@ -27,7 +27,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .fetch import fetch_log, simulate_fetch, synthetic_outlinks
-from .frontier import FRONTIER_SCHEMA, canonical_candidates, politeness_schedule
+from .frontier import (
+    FRONTIER_SCHEMA,
+    canonical_candidates,
+    dedup_by_hash,
+    politeness_schedule,
+)
 from .state import SEEN_SCHEMA, BLOOM_SCHEMA, BloomSeenSet, StateStore
 
 METRICS_SCHEMA = (
@@ -149,19 +154,10 @@ class CrawlScheduler:
         merged = rest.select(*new_cand.columns).unionByName(new_cand)
         # a candidate can be re-discovered while still pending in the
         # frontier — keep exactly one row per url_hash, deterministic winner
-        w = Window.partitionBy("url_hash").orderBy(
-            F.desc("priority"), F.asc("discovered_at"), F.asc("url_canon")
-        )
-        new_frontier = (
-            merged.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-            .cache()
-        )
+        new_frontier = dedup_by_hash(merged).select(*new_cand.columns).cache()
         n_frontier = new_frontier.count()
         t_harvest = time.time() - t1
 
-        metrics_prev = self.store.read(self.spark, "metrics", METRICS_SCHEMA)
         metrics_new = _partition_lineage(
             fetched, self.store.snapshot_id() + 1, rnd, "fetch", t_fetch
         ).unionByName(
@@ -169,15 +165,16 @@ class CrawlScheduler:
                 new_frontier, self.store.snapshot_id() + 1, rnd, "harvest", t_harvest
             )
         )
-        log_prev = self.store.read(self.spark, "fetch_log", FETCH_LOG_SCHEMA)
 
+        # frontier + blooms are rewritten (they mutate in place); url_seen,
+        # fetch_log and metrics are append-only — each round commits ONLY
+        # its delta, so commit cost stays O(round) instead of O(crawl)
         sid = self.store.commit(
-            {
-                "frontier": new_frontier,
-                "url_seen": seen2,
-                "blooms": blooms2,
-                "fetch_log": log_prev.unionByName(log),
-                "metrics": metrics_prev.unionByName(metrics_new),
+            tables={"frontier": new_frontier, "blooms": blooms2},
+            appends={
+                "url_seen": newly_seen,
+                "fetch_log": log,
+                "metrics": metrics_new,
             },
             partition_by={"url_seen": ["bucket"]},
             meta={"round": rnd},

@@ -127,42 +127,44 @@ class BloomSeenSet:
         the bucket-pruned left-anti join that removes false positives.
         """
         cand = self.bucketize(candidates)
-        cols = cand.columns
+        # Only the 16-byte (bucket, url_hash) pair crosses the Arrow
+        # boundary — never the full candidate row. At 10^10 scale the
+        # candidate payload (urls, timestamps) is 10-50× wider than the
+        # hash; keeping it JVM-side cuts the Python serialization bill by
+        # that factor. Survivor hashes join back JVM-side.
+        slim = cand.select("bucket", "url_hash")
 
         def flag(key, cpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
             if len(cpdf) == 0:
-                return cpdf.assign(maybe_seen=pd.Series([], dtype=bool))
+                return pd.DataFrame(
+                    {"bucket": pd.Series([], dtype="int32"),
+                     "url_hash": pd.Series([], dtype="int64"),
+                     "maybe_seen": pd.Series([], dtype=bool)}
+                )
+            hashes = cpdf["url_hash"].to_numpy(dtype=np.int64)
             if len(bpdf) == 0:
-                cpdf = cpdf.copy()
-                cpdf["maybe_seen"] = False
-                return cpdf
-            row = bpdf.iloc[0]
-            hits = _test_blob(
-                cpdf["url_hash"].to_numpy(dtype=np.int64),
-                row["bitmap"],
-                int(row["n_bits"]),
-                int(row["n_hashes"]),
+                hits = np.zeros(len(hashes), dtype=bool)
+            else:
+                row = bpdf.iloc[0]
+                hits = _test_blob(
+                    hashes, row["bitmap"], int(row["n_bits"]), int(row["n_hashes"])
+                )
+            return pd.DataFrame(
+                {"bucket": cpdf["bucket"], "url_hash": cpdf["url_hash"], "maybe_seen": hits}
             )
-            cpdf = cpdf.copy()
-            cpdf["maybe_seen"] = hits
-            return cpdf
 
-        from pyspark.sql.types import BooleanType, StructField, StructType
-
-        out_schema = StructType(
-            list(cand.schema.fields) + [StructField("maybe_seen", BooleanType())]
-        )
         flagged = (
-            cand.groupBy("bucket")
+            slim.groupBy("bucket")
             .cogroup(blooms.groupBy("bucket"))
-            .applyInPandas(flag, out_schema)
+            .applyInPandas(flag, "bucket int, url_hash long, maybe_seen boolean")
         )
-        definite_new = flagged.filter(~F.col("maybe_seen")).select(*cols)
-        suspects = flagged.filter(F.col("maybe_seen")).select(*cols)
+        definite_new = flagged.filter(~F.col("maybe_seen")).select("url_hash")
+        suspects = flagged.filter(F.col("maybe_seen")).select("bucket", "url_hash")
         confirmed_new = suspects.join(
             seen_rows, on=["bucket", "url_hash"], how="left_anti"
-        )
-        return definite_new.unionByName(confirmed_new).drop("bucket")
+        ).select("url_hash")
+        new_hashes = definite_new.unionByName(confirmed_new)
+        return cand.join(new_hashes, "url_hash", "left_semi").drop("bucket")
 
     def merge_blooms(self, blooms: DataFrame, new_rows: DataFrame) -> DataFrame:
         """OR new hashes into existing blobs (cogrouped per bucket); grows a
@@ -239,7 +241,15 @@ class StateStore:
         rel = self.manifest()["tables"].get(name)
         if rel is None:
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(os.path.join(self.root, rel))
+        parts = rel if isinstance(rel, list) else [rel]
+        # read each delta dir separately and union by name: multi-root reads
+        # trip Spark's partition discovery when parts mix partitioned and
+        # unpartitioned layouts (bootstrap tables are unpartitioned)
+        dfs = [spark.read.parquet(os.path.join(self.root, p)) for p in parts]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     # -- commit -----------------------------------------------------------
     def commit(
@@ -248,12 +258,16 @@ class StateStore:
         partition_by: dict[str, list[str]] | None = None,
         meta: dict | None = None,
         carry_forward: Iterable[str] = (),
+        appends: dict[str, DataFrame] | None = None,
     ) -> int:
-        """Write new versions of ``tables``, carry forward unchanged ones,
-        and atomically swap the manifest. Returns the new snapshot id."""
+        """Write new versions of ``tables``, append delta files to
+        ``appends`` tables (the manifest tracks the part list — an append
+        round writes only the delta, never rewrites history; this is what
+        keeps per-round commit cost O(round), not O(crawl)), carry forward
+        unchanged tables, then atomically swap the manifest."""
         m = self.manifest()
         sid = int(m["snapshot"]) + 1
-        new_tables: dict[str, str] = {}
+        new_tables: dict[str, str | list[str]] = {}
         for name in carry_forward:
             if name in m["tables"]:
                 new_tables[name] = m["tables"][name]
@@ -264,6 +278,15 @@ class StateStore:
                 writer = writer.partitionBy(col)
             writer.parquet(os.path.join(self.root, rel))
             new_tables[name] = rel
+        for name, df in (appends or {}).items():
+            rel = f"{name}/d{sid}"
+            writer = df.write.mode("overwrite")
+            for col in (partition_by or {}).get(name, []):
+                writer = writer.partitionBy(col)
+            writer.parquet(os.path.join(self.root, rel))
+            prev = m["tables"].get(name, [])
+            parts = prev if isinstance(prev, list) else [prev]
+            new_tables[name] = parts + [rel]
         manifest = {
             "snapshot": sid,
             "tables": new_tables,

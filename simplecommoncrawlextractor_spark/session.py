@@ -47,6 +47,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
+    # local-mode shuffle spills to tmpfs when available: at high local
+    # parallelism the disk becomes the shuffle bottleneck long before CPU
+    shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/ccspark-local")
+    try:
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
+    except OSError:
+        pass
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
