@@ -1,0 +1,87 @@
+"""Physical-plan audits: the plan properties that make the engine scale
+must not regress — column pruning, partial aggregation, broadcast joins,
+and no accidental cartesian products. (SURVEY §4.)"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from simplecommoncrawlextractor_spark.operators import analytics as A  # noqa: E402
+from simplecommoncrawlextractor_spark.operators.cdxview import cdx_view  # noqa: E402
+from simplecommoncrawlextractor_spark.plans.frontier import (  # noqa: E402
+    canonical_candidates,
+    politeness_schedule,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_count_query_prunes_and_partial_aggregates(spark, sf_dir):
+    df = A.a1_count_mimes(cdx_view(spark, sf_dir))
+    plan = _plan(df)
+    # partial + final hash aggregation (the reference needed a separate
+    # reducer program for the final merge; Spark plans both stages)
+    assert plan.count("HashAggregate") >= 2
+    # column pruning: the scan must read only the two source columns the
+    # derivation needs, not the whole orders table
+    assert "ReadSchema: struct<o_orderkey:bigint" in plan
+    assert "o_totalprice" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_digest_semijoin_broadcasts(spark, sf_dir):
+    qs = entrymod.queries()
+    plan = _plan(qs["f7_digest_semijoin"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_seen_antijoin_broadcasts(spark, sf_dir):
+    qs = entrymod.queries()
+    plan = _plan(qs["f9_seen_antijoin"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_frontier_pipeline_no_cartesian(spark, sf_dir):
+    from simplecommoncrawlextractor_spark.plans.frontier import harvest_outlinks
+    from simplecommoncrawlextractor_spark.sources import interleaved_documents
+
+    docs = interleaved_documents(spark, sf_dir)
+    out = politeness_schedule(canonical_candidates(harvest_outlinks(docs)), 5, 4)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the url_hash dedup must be an aggregation (partial combine), not a sort
+    assert "min_by" in plan or "HashAggregate" in plan
+
+
+def test_filters_reach_parquet_scan(spark, sf_dir):
+    # a plain filter on a physical parquet column must be pushed down
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_custkey") == 42
+    ).select("o_orderkey")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,42)]" in plan
+
+
+def test_whole_stage_codegen_covers_relational_core(spark, sf_dir):
+    # AQE wraps the plan lazily and hides codegen spans until execution;
+    # disable it for this one assertion so executedPlan is concrete
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df = A.a6_count_tld_mime_200(cdx_view(spark, sf_dir))
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    # Spark 4 renders whole-stage-codegen stages as "*(N) Operator"
+    assert "*(1)" in plan and "*(2)" in plan
