@@ -151,6 +151,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (F.col("status") == 200) & (F.col("rec_id") % 100 < 35),
     )
 
+    # --- parsing / projection / mapper chain ------------------------------
+    def p1_cdx_parse(s, d):
+        from simplecommoncrawlextractor_spark.sources.cdx import parse_cdx_lines
+
+        raw = cdx_view(s, d).select(
+            F.concat(
+                F.lit("com,example)/p "),
+                F.lit("20260101120000"),
+                F.lit(' {"url": "'), F.col("url"),
+                F.lit('", "mime-detected": "'), F.col("mime_detected"),
+                F.lit('", "status": "'), F.col("status").cast("string"),
+                F.lit('", "digest": "'), F.col("digest"),
+                F.lit('", "length": "'), F.col("length").cast("string"),
+                F.lit('", "offset": "'), F.col("offset").cast("string"),
+                F.lit('", "filename": "'), F.col("filename"), F.lit('"}'),
+            ).alias("value")
+        )
+        parsed = parse_cdx_lines(raw)
+        return parsed.select(
+            "url", "mime_detected", "status", "digest", "length", "offset",
+            "filename", F.unix_timestamp("fetch_ts").alias("fetch_epoch"),
+        )
+
+    q["p1_cdx_parse"] = p1_cdx_parse
+
+    q["p2_offset_header"] = lambda s, d: cdx_view(s, d).select(
+        "rec_id",
+        F.concat(
+            F.lit("bytes="), F.col("offset").cast("string"), F.lit("-"),
+            (F.col("offset") + F.col("length") - 1).cast("string"),
+        ).alias("range_header"),
+    )
+
+    q["p3_to_json"] = lambda s, d: cdx_view(s, d).select(
+        "rec_id",
+        F.to_json(F.struct(F.col("url"), F.col("status"))).alias("js"),
+    )
+
+    q["a4_count_mime_by_ext"] = lambda s, d: A.a4_count_mime_by_ext(cdx_view(s, d))
+
+    q["f8_set_membership"] = lambda s, d: A.with_derived(cdx_view(s, d)).filter(
+        F.col("mime_detected").isin("text/html", "application/pdf")
+        | F.col("ext").isin("html", "pdf")
+    ).select("rec_id", "url", "mime_detected")
+
+    def f11_lang_charset_sample(s, d):
+        df = A.with_derived(cdx_view(s, d)).filter(
+            F.col("mime_norm").contains("html") | F.col("mime_norm").contains("text")
+        )
+        key = F.concat_ws("\t", F.col("lang1"), F.coalesce(F.col("charset"), F.lit("")))
+        return S.deterministic_sample(
+            df, {"eng\tUTF-8": 1.0, "deu\twindows-1252": 0.25, "NULL\t": 0.0},
+            key, "rec_id", default=0.5,
+        ).select("rec_id", "url", F.col("lang1").alias("lang"), "charset")
+
+    q["f11_downsample_langcharset"] = f11_lang_charset_sample
+
+    def f13_capture(s, d):
+        from simplecommoncrawlextractor_spark.functions.mappers import (
+            capture_field_mapper,
+        )
+
+        return cdx_view(s, d).select(
+            "rec_id",
+            capture_field_mapper(
+                F.col("url"), r"^https://([^/]+)/p/(\d+)", "$1#$2",
+                fail_policy="SKIP_FIELD",
+            ).alias("host_key"),
+            capture_field_mapper(
+                F.col("url"), r"\.(html|pdf)$", "ext:$1", fail_policy="STORE_AS_IS"
+            ).alias("ext_or_url"),
+        )
+
+    q["f13_capture_replace"] = f13_capture
+
+    def f14_identity(s, d):
+        from simplecommoncrawlextractor_spark.functions.mappers import (
+            identity_field_mapper,
+        )
+
+        messy = _docs(s, d).select(
+            "doc_id",
+            F.concat(
+                F.lit("  "),
+                F.regexp_replace(F.col("text"), " the ", "\n \n\n"),
+                F.lit("\t"),
+            ).alias("messy"),
+        )
+        return messy.select(
+            "doc_id", identity_field_mapper(F.col("messy")).alias("cleaned")
+        )
+
+    q["f14_identity_norm"] = f14_identity
+
     # --- documents: dedup + text analysis -------------------------------
     q["dedup_exact_groups"] = lambda s, d: D.exact_dedup_groups(_docs(s, d))
     q["dedup_minhash_lsh"] = lambda s, d: D.minhash_lsh_candidates(_docs(s, d))
@@ -299,6 +393,54 @@ def oracle_sql() -> dict[str, str]:
     o["a12_sample_tally"] = oracle_cte(
         "SELECT CAST(sum(CASE WHEN status = 200 AND rec_id % 100 < 35 THEN 1 ELSE 0 END) AS BIGINT) AS selected, "
         "count(*) AS total FROM cdx"
+    )
+
+    o["p1_cdx_parse"] = oracle_cte(
+        'SELECT url, mime_detected, status, digest, length, "offset", filename, '
+        "CAST(floor(epoch(TIMESTAMP '2026-01-01 12:00:00')) AS BIGINT) AS fetch_epoch FROM cdx"
+    )
+    o["p2_offset_header"] = oracle_cte(
+        "SELECT rec_id, 'bytes=' || CAST(\"offset\" AS STRING) || '-' || "
+        'CAST("offset" + length - 1 AS STRING) AS range_header FROM cdx'
+    )
+    o["p3_to_json"] = oracle_cte(
+        "SELECT rec_id, '{\"url\":\"' || url || '\",\"status\":' || "
+        "CAST(status AS STRING) || '}' AS js FROM cdx"
+    )
+    o["a4_count_mime_by_ext"] = oracle_cte(
+        f"SELECT coalesce({_MIME}, 'NULL') AS mime, coalesce({_EXT}, 'NULL') AS ext, "
+        "count(*) AS cnt FROM cdx GROUP BY 1, 2 ORDER BY mime, cnt DESC, ext"
+    )
+    o["f8_set_membership"] = oracle_cte(
+        "SELECT rec_id, url, mime_detected FROM cdx "
+        "WHERE mime_detected IN ('text/html', 'application/pdf') "
+        f"OR {_EXT} IN ('html', 'pdf')"
+    )
+    o["f11_downsample_langcharset"] = oracle_cte(
+        f"SELECT rec_id, url, {_LANG1} AS lang, charset FROM ("
+        f"SELECT *, {_LANG1} || chr(9) || coalesce(charset, '') AS k, "
+        f"CASE {_LANG1} || chr(9) || coalesce(charset, '') "
+        "WHEN 'eng' || chr(9) || 'UTF-8' THEN 1.0 "
+        "WHEN 'deu' || chr(9) || 'windows-1252' THEN 0.25 "
+        "WHEN 'NULL' || chr(9) THEN 0.0 ELSE 0.5 END AS rate FROM cdx "
+        f"WHERE {_MIME} LIKE '%html%' OR {_MIME} LIKE '%text%') "
+        "WHERE rate >= 1.0 OR rec_id % 1000 < rate * 1000"
+    )
+    o["f13_capture_replace"] = oracle_cte(
+        "SELECT rec_id, "
+        "CASE WHEN regexp_matches(url, '^https://([^/]+)/p/([0-9]+)') THEN "
+        "regexp_extract(url, '^https://([^/]+)/p/([0-9]+)', 1) || '#' || "
+        "regexp_extract(url, '^https://([^/]+)/p/([0-9]+)', 2) ELSE NULL END AS host_key, "
+        "CASE WHEN regexp_matches(url, '\\.(html|pdf)$') THEN "
+        "'ext:' || regexp_extract(url, '\\.(html|pdf)$', 1) ELSE url END AS ext_or_url "
+        "FROM cdx"
+    )
+    o["f14_identity_norm"] = (
+        "SELECT doc_id, regexp_replace(trim('  ' || regexp_replace(text, ' the ', "
+        "chr(10) || ' ' || chr(10) || chr(10), 'g') || chr(9), "
+        "' ' || chr(9) || chr(10) || chr(13)), "
+        "'(\\r\\n|[\\n\\r]+)(?: *)(?:(?:\\r\\n|[\\n\\r])+\\s*)+', "
+        "chr(10) || chr(10), 'g') AS cleaned FROM documents"
     )
 
     o["dedup_exact_groups"] = (

@@ -99,6 +99,18 @@ def a3_count_ext_by_mime(cdx: DataFrame) -> DataFrame:
     )
 
 
+def a4_count_mime_by_ext(cdx: DataFrame) -> DataFrame:
+    """A4: (mime, ext) counts (CountMimeByExt.java:37-100), O2 order."""
+    d = with_derived(cdx).select(
+        _nz(F.col("mime_norm")).alias("mime"), _nz(F.col("ext")).alias("ext")
+    )
+    return (
+        d.groupBy("mime", "ext")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.asc("mime"), F.desc("cnt"), F.asc("ext"))
+    )
+
+
 def a5_count_tlds(cdx: DataFrame) -> DataFrame:
     """A5: count by TLD — NO status filter (CountTopLevelDomains.java:53-77)."""
     d = with_derived(cdx).select(F.col("tld"))
