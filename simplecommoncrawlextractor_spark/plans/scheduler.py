@@ -195,6 +195,35 @@ class CrawlScheduler:
         just: construct over the same store and call run again)."""
         return [self.step() for _ in range(rounds)]
 
+    def delete_refetchable(self, per_mille: int = 100) -> int:
+        """RefetchedDeleter semantics (cc/RefetchedDeleter.java:37-43): make
+        a deterministic ``per_mille``/1000 slice of truncated-but-stored
+        fetches refetchable by deleting them from the URL-seen set (the
+        reference deletes the payload file; existence IS its seen-bit).
+
+        This is the deletion path bloom filters can't do alone — exact rows
+        are anti-joined out and only the touched buckets' blobs rebuild
+        (plans/state.py:delete). Commits a full url_seen rewrite (deletes
+        are rare; the per-round hot path stays append-only)."""
+        log = self.store.read(self.spark, "fetch_log", FETCH_LOG_SCHEMA)
+        victims = (
+            log.filter(
+                (F.col("WARC_IS_TRUNCATED") == "true")
+                & (F.col("FETCH_STATUS") == "ADDED_TO_REPOSITORY")
+            )
+            .select(F.xxhash64("URL").alias("url_hash"))
+            .filter(F.pmod(F.col("url_hash"), F.lit(1000)) < per_mille)
+        )
+        seen_rows = self.url_seen()
+        remaining, rebuilt = self.seen.delete(seen_rows, victims)
+        blooms2 = self.seen.merge_rebuilt_blooms(self.blooms(), rebuilt)
+        return self.store.commit(
+            tables={"url_seen": remaining, "blooms": blooms2},
+            partition_by={"url_seen": ["bucket"]},
+            carry_forward=["frontier", "fetch_log", "metrics"],
+            meta={"round": self.round_no()},
+        )
+
     # -- crawl-order audit trail -------------------------------------------
     def crawl_order(self) -> DataFrame:
         """The materialized crawl ordering: (round, host, fetch_rank, URL)

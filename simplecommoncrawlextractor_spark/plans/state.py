@@ -210,6 +210,30 @@ class BloomSeenSet:
         )
 
 
+    def delete(self, seen_rows: DataFrame, victims: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """The deletion path (cuckoo-filter role): remove ``victims``
+        (url_hash) from the seen set so they become refetchable — the
+        semantics of RefetchedDeleter (cc/RefetchedDeleter.java:37-43),
+        which deletes a percentage of truncated payloads from the repo.
+
+        Bloom blobs can't unset bits; exact rows can. We anti-join the
+        victims out and rebuild blobs ONLY for buckets that lost rows —
+        bucket-local work, deterministic, no eviction cascades. Returns
+        (new_seen_rows, new_blooms) for the caller to commit."""
+        v = self.bucketize(victims.select("url_hash")).select("bucket", "url_hash")
+        remaining = seen_rows.join(v, ["bucket", "url_hash"], "left_anti")
+        touched = v.select("bucket").distinct()
+        rebuilt = self.build_blooms(
+            remaining.join(F.broadcast(touched), "bucket", "left_semi")
+        )
+        return remaining, rebuilt
+
+    def merge_rebuilt_blooms(self, blooms: DataFrame, rebuilt: DataFrame) -> DataFrame:
+        """Replace touched buckets' blobs with their rebuilt versions."""
+        untouched = blooms.join(rebuilt.select("bucket"), "bucket", "left_anti")
+        return untouched.unionByName(rebuilt)
+
+
 class StateStore:
     """Versioned parquet tables + atomic manifest swap (Iceberg-style
     snapshot commits without the jar). Commit = write v{N+1} dirs, then
