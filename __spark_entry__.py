@@ -128,6 +128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["a3_count_ext_by_mime"] = lambda s, d: A.a3_count_ext_by_mime(cdx_view(s, d))
     q["a5_count_tlds"] = lambda s, d: A.a5_count_tlds(cdx_view(s, d))
     q["a6_count_tld_mime_200"] = lambda s, d: A.a6_count_tld_mime_200(cdx_view(s, d))
+    q["a7_count_tld_mime_detected"] = lambda s, d: A.a7_count_tld_mime_detected(
+        cdx_view(s, d)
+    )
     q["a8_count_tld_charset"] = lambda s, d: A.a8_count_tld_charset(cdx_view(s, d))
     q["a9_count_tld_charset_lang"] = lambda s, d: A.a9_count_tld_charset_lang(cdx_view(s, d))
     q["a10_mime_confusion"] = lambda s, d: A.a10_mime_confusion(cdx_view(s, d))
@@ -255,6 +258,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_lang_id"] = lambda s, d: T.lang_id_table(_docs(s, d))
     q["text_fingerprint"] = lambda s, d: T.fingerprint_table(_docs(s, d))
 
+    def text_token_bpe(s, d):
+        from simplecommoncrawlextractor_spark.functions.text import token_count
+
+        return _docs(s, d).select(
+            "doc_id", token_count("text", mode="bpe").alias("n_bpe_tokens")
+        ).orderBy("doc_id")
+
+    q["text_token_bpe"] = text_token_bpe
+
+    def text_rolling_fp(s, d):
+        from simplecommoncrawlextractor_spark.functions.text import (
+            rolling_fingerprint,
+        )
+
+        return _docs(s, d).select(
+            "doc_id", rolling_fingerprint("text").alias("rfp")
+        ).orderBy("doc_id")
+
+    q["text_rolling_fingerprint"] = text_rolling_fp  # rows-only (pandas UDF)
+
     # --- events: windowed aggregation / sessionization -------------------
     def events_hourly(s, d):
         e = _events(s, d)
@@ -341,6 +364,11 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT {_TLD} AS tld, coalesce({_MIME}, 'NULL') AS mime, count(*) AS cnt "
         "FROM cdx WHERE status = 200 AND url NOT LIKE '%robots.txt' "
         "GROUP BY 1, 2 ORDER BY tld, cnt DESC, mime"
+    )
+    o["a7_count_tld_mime_detected"] = oracle_cte(
+        f"SELECT {_TLD} AS tld, coalesce({_MIME_DET}, 'NULL') AS mime_detected, "
+        "count(*) AS cnt FROM cdx WHERE status = 200 AND url NOT LIKE '%robots.txt' "
+        "GROUP BY 1, 2 ORDER BY tld, cnt DESC, mime_detected"
     )
     o["a8_count_tld_charset"] = oracle_cte(
         f"SELECT {_TLD} AS tld, charset, count(*) AS cnt "
@@ -506,6 +534,11 @@ FROM best WHERE rn = 1 ORDER BY doc_id
 """.strip()
     o["text_fingerprint"] = (
         f"SELECT doc_id, {_FP} AS fp FROM documents ORDER BY doc_id"
+    )
+    o["text_token_bpe"] = (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens "
+        "FROM documents ORDER BY doc_id"
     )
 
     o["events_hourly_counts"] = (

@@ -128,6 +128,17 @@ def a6_count_tld_mime_200(cdx: DataFrame) -> DataFrame:
     )
 
 
+def a7_count_tld_mime_detected(cdx: DataFrame) -> DataFrame:
+    """A7: (tld, detected mime) counts, 200-only, robots dropped
+    (CountDetectedMimesByTopLevelDomains.java:55-92)."""
+    d = with_derived(f2_drop_robots(f1_status_200(cdx)))
+    return (
+        d.groupBy("tld", _nz(normalize_mime("mime_detected")).alias("mime_detected"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.asc("tld"), F.desc("cnt"), F.asc("mime_detected"))
+    )
+
+
 def a8_count_tld_charset(cdx: DataFrame) -> DataFrame:
     """A8: (tld, charset) counts, blank charsets dropped
     (CountCharsetByTopLevelDomains.java:54-91)."""
