@@ -477,9 +477,10 @@ def oracle_sql() -> dict[str, str]:
     )
     o["dedup_minhash_lsh"] = f"""
 WITH {_SHINGLE_CTE},
+base AS (SELECT doc_id, md5(shingle) AS h0 FROM sh),
 saltsh AS (
-  SELECT doc_id, salt, md5(CAST(salt AS STRING) || '|' || shingle) AS h
-  FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS salt)
+  SELECT doc_id, salt, md5(CAST(salt AS STRING) || h0) AS h
+  FROM base CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS salt)
 ),
 sig AS (SELECT doc_id, salt, min(h) AS sig FROM saltsh GROUP BY 1, 2),
 band AS (

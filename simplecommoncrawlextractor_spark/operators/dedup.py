@@ -51,13 +51,17 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = 
 def minhash_signatures(
     sh: DataFrame, n_hashes: int = 8, id_col: str = "doc_id"
 ) -> DataFrame:
-    """MinHash signature per doc: for salt s in 0..n-1,
-    sig_s = min(md5(s || '|' || shingle)). Portable (md5 is identical in
-    DuckDB) and exact — min over a hash ordering is a valid permutation
-    proxy. Output: (doc_id, salt, sig)."""
+    """MinHash signature per doc: base = md5(shingle) computed ONCE per
+    shingle, then sig_s = min(md5(s || base)) for salt s in 0..n-1 — the
+    variable-length shingle is hashed a single time and the salt
+    permutations re-hash only the fixed 32-char digest (≈n× cheaper on
+    long shingles, same LSH guarantees: each salt is an independent
+    uniform permutation of shingle space). Portable — DuckDB md5 is
+    byte-identical. Output: (doc_id, salt, sig)."""
+    base = sh.select(F.col(id_col), F.md5("shingle").alias("h0"))
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("salt")
-    exploded = sh.select(F.col(id_col), F.col("shingle"), salts)
-    h = F.md5(F.concat(F.col("salt").cast("string"), F.lit("|"), F.col("shingle")))
+    exploded = base.select(F.col(id_col), F.col("h0"), salts)
+    h = F.md5(F.concat(F.col("salt").cast("string"), F.col("h0")))
     return (
         exploded.select(F.col(id_col), F.col("salt"), h.alias("h"))
         .groupBy(id_col, "salt")
