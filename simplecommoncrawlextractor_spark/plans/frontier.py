@@ -99,6 +99,7 @@ def politeness_schedule(
     frontier: DataFrame,
     host_budget: int = 10,
     salt_k: int = 8,
+    budget_table: DataFrame | None = None,
 ) -> DataFrame:
     """Per-host politeness priority queue: at most ``host_budget`` URLs per
     host per round, best-priority first (SURVEY §2.5 O4 — the engine's only
@@ -112,17 +113,27 @@ def politeness_schedule(
     the ≤ salt_k × host_budget survivors. Ordering keys are data-derived
     only (priority, discovered_at, url_hash) — never partition ids — so the
     schedule is identical at any parallelism (N vs 4N clause).
+
+    ``budget_table`` (host, host_budget) overrides the flat budget per host
+    — the robots Crawl-delay input (plans/robots.py); broadcast-joined, so
+    the frontier pays no extra shuffle.
     """
+    if budget_table is not None:
+        frontier = frontier.join(F.broadcast(budget_table), "host", "left")
+        budget_col = F.coalesce(F.col("host_budget"), F.lit(host_budget))
+    else:
+        budget_col = F.lit(host_budget)
     order = [F.desc("priority"), F.asc("discovered_at"), F.asc("url_hash")]
     salted = frontier.withColumn("__salt", F.pmod(F.col("url_hash"), F.lit(salt_k)))
     w1 = Window.partitionBy("host", "__salt").orderBy(*order)
     pre = (
         salted.withColumn("__rn", F.row_number().over(w1))
-        .filter(F.col("__rn") <= host_budget)
+        .filter(F.col("__rn") <= budget_col)
         .drop("__rn", "__salt")
     )
     w2 = Window.partitionBy("host").orderBy(*order)
-    return (
+    out = (
         pre.withColumn("fetch_rank", F.row_number().over(w2))
-        .filter(F.col("fetch_rank") <= host_budget)
+        .filter(F.col("fetch_rank") <= budget_col)
     )
+    return out.drop("host_budget") if budget_table is not None else out

@@ -1,0 +1,102 @@
+"""robots.txt consumption — a politeness INPUT to the scheduler.
+
+The reference only *drops* robots.txt rows from analytics
+(cc/index/mappers/CountMimesByTopLevelDomains.java:63-65); it never obeys
+them. The north rule adds real robots filtering: per-host disallow rules
+gate what the politeness queue may schedule.
+
+Model: a small ``robots_rules`` table (host, disallow_prefix, crawl_delay)
+— in production it is produced by fetching+parsing each host's
+/robots.txt (one more fetch stage through the same scheduler); here it is
+synthesized deterministically or supplied by the caller. Application is a
+broadcast join + prefix predicate: rules tables are tiny relative to the
+frontier (≤ one row per (host, rule)), so no shuffle of the frontier is
+ever needed. Crawl-delay participates by scaling the per-host budget.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ROBOTS_SCHEMA = "host string, disallow_prefix string, crawl_delay int"
+
+
+def parse_robots_txt(bodies: DataFrame, host_col: str = "host", body_col: str = "body") -> DataFrame:
+    """Minimal robots.txt parser over (host, body) rows — JVM-side only:
+    split lines, keep ``Disallow:`` prefixes for User-agent: * sections
+    (simplified: any Disallow line counts) and a ``Crawl-delay``.
+    Lossy vs the full RFC 9309 but the plan shape (explode → filter →
+    aggregate per host) is the real one."""
+    lines = bodies.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(body_col), "\n")).alias("line"),
+    )
+    dis = lines.filter(F.col("line").rlike(r"(?i)^\s*disallow\s*:")).select(
+        "host",
+        F.trim(F.regexp_replace(F.col("line"), r"(?i)^\s*disallow\s*:", "")).alias(
+            "disallow_prefix"
+        ),
+    ).filter(F.col("disallow_prefix") != "")
+    delay = lines.filter(F.col("line").rlike(r"(?i)^\s*crawl-delay\s*:")).select(
+        "host",
+        F.trim(F.regexp_replace(F.col("line"), r"(?i)^\s*crawl-delay\s*:", ""))
+        .cast("int")
+        .alias("crawl_delay"),
+    ).groupBy("host").agg(F.max("crawl_delay").alias("crawl_delay"))
+    return dis.join(delay, "host", "left").select(
+        "host", "disallow_prefix", F.coalesce("crawl_delay", F.lit(0)).alias("crawl_delay")
+    )
+
+
+def synth_robots_rules(spark: SparkSession, hosts: DataFrame) -> DataFrame:
+    """Deterministic robots rules for the sandbox: every 3rd host (by
+    xxhash64) disallows /private/, every 5th disallows /p/ entirely, every
+    7th asks for crawl-delay 2. Seedless — derived from the host string."""
+    h = F.xxhash64("host")
+    rules_private = hosts.filter(F.pmod(h, F.lit(3)) == 0).select(
+        "host", F.lit("/private/").alias("disallow_prefix"), F.lit(0).alias("crawl_delay")
+    )
+    rules_p = hosts.filter(F.pmod(h, F.lit(5)) == 0).select(
+        "host", F.lit("/p/").alias("disallow_prefix"), F.lit(0).alias("crawl_delay")
+    )
+    rules_delay = hosts.filter(F.pmod(h, F.lit(7)) == 0).select(
+        "host", F.lit("/never-matches/").alias("disallow_prefix"), F.lit(2).alias("crawl_delay")
+    )
+    return rules_private.unionByName(rules_p).unionByName(rules_delay)
+
+
+def robots_filter(candidates: DataFrame, rules: DataFrame) -> DataFrame:
+    """Drop candidates whose canonical path starts with a disallowed prefix
+    for their host. Broadcast left-join + prefix test + anti-aggregation —
+    the frontier never shuffles; the (tiny) rules table moves instead."""
+    path = F.regexp_replace(F.col("url_canon"), r"^[a-z]+://[^/]+", "")
+    cand = candidates.withColumn("__path", path)
+    joined = cand.join(F.broadcast(rules), "host", "left")
+    blocked = (
+        joined.filter(
+            F.col("disallow_prefix").isNotNull()
+            & F.col("__path").startswith(F.col("disallow_prefix"))
+        )
+        .select("url_hash")
+        .distinct()
+    )
+    return cand.join(blocked, "url_hash", "left_anti").drop("__path")
+
+
+def budget_with_crawl_delay(
+    rules: DataFrame, base_budget: int, round_seconds: int = 60
+) -> DataFrame:
+    """Per-host budget table: hosts with Crawl-delay d get at most
+    round_seconds/d fetches per round (min 1), others the base budget."""
+    per_host = rules.groupBy("host").agg(F.max("crawl_delay").alias("crawl_delay"))
+    return per_host.select(
+        "host",
+        F.when(
+            F.col("crawl_delay") > 0,
+            F.greatest(F.floor(F.lit(round_seconds) / F.col("crawl_delay")), F.lit(1)),
+        )
+        .otherwise(F.lit(base_budget))
+        .cast("int")
+        .alias("host_budget"),
+    )

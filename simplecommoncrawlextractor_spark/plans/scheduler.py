@@ -75,12 +75,34 @@ class CrawlScheduler:
         host_budget: int = 10,
         salt_k: int = 8,
         n_buckets: int = 64,
+        robots_rules: DataFrame | None = None,
+        round_seconds: int = 60,
     ):
+        """``robots_rules`` (host, disallow_prefix, crawl_delay — see
+        plans/robots.py) makes the scheduler obey disallow prefixes when
+        admitting candidates and Crawl-delay when budgeting hosts."""
         self.spark = spark
         self.store = store
         self.host_budget = host_budget
         self.salt_k = salt_k
         self.seen = BloomSeenSet(n_buckets)
+        self.robots_rules = robots_rules
+        self._budget_table = None
+        if robots_rules is not None:
+            from .robots import budget_with_crawl_delay
+
+            self._budget_table = budget_with_crawl_delay(
+                robots_rules, host_budget, round_seconds
+            )
+
+    def _admit(self, cand: DataFrame) -> DataFrame:
+        """Apply robots disallow rules to candidate rows (no-op without
+        rules)."""
+        if self.robots_rules is None:
+            return cand
+        from .robots import robots_filter
+
+        return robots_filter(cand, self.robots_rules)
 
     # -- state accessors ---------------------------------------------------
     def frontier(self) -> DataFrame:
@@ -101,7 +123,7 @@ class CrawlScheduler:
         optional priority/discovered_at). Dedups within the seed list."""
         pr = F.col("priority") if "priority" in seeds.columns else None
         ts = F.col("discovered_at") if "discovered_at" in seeds.columns else None
-        cand = canonical_candidates(seeds, priority=pr, discovered_at=ts)
+        cand = self._admit(canonical_candidates(seeds, priority=pr, discovered_at=ts))
         return self.store.commit(
             {
                 "frontier": cand,
@@ -119,7 +141,9 @@ class CrawlScheduler:
         blooms = self.blooms()
 
         t0 = time.time()
-        scheduled = politeness_schedule(frontier, self.host_budget, self.salt_k)
+        scheduled = politeness_schedule(
+            frontier, self.host_budget, self.salt_k, budget_table=self._budget_table
+        )
         fetched = simulate_fetch(scheduled).cache()
         n_fetched = fetched.count()
         t_fetch = time.time() - t0
@@ -146,7 +170,7 @@ class CrawlScheduler:
         # harvest next-round candidates, dedup vs (updated) seen set
         t1 = time.time()
         outlinks = synthetic_outlinks(fetched)
-        cand = canonical_candidates(outlinks)
+        cand = self._admit(canonical_candidates(outlinks))
         new_cand = self.seen.probe(cand, seen2, blooms2)
         # frontier minus the scheduled rows, plus the new candidates;
         # also drop any frontier row that is now seen (scheduled is a subset)

@@ -1,0 +1,92 @@
+"""robots.txt consumption tests: parser, disallow filtering, crawl-delay
+budgets, and scheduler integration."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simplecommoncrawlextractor_spark.plans import CrawlScheduler, StateStore
+from simplecommoncrawlextractor_spark.plans.frontier import politeness_schedule
+from simplecommoncrawlextractor_spark.plans.robots import (
+    budget_with_crawl_delay,
+    parse_robots_txt,
+    robots_filter,
+)
+from simplecommoncrawlextractor_spark.sources import seed_frontier
+
+
+def test_parse_robots_txt(spark):
+    body = "User-agent: *\nDisallow: /private/\ndisallow: /tmp/\nCrawl-delay: 5\n\n# c\nDisallow:\n"
+    df = spark.createDataFrame([("a.com", body)], "host string, body string")
+    rules = {(r["disallow_prefix"], r["crawl_delay"]) for r in parse_robots_txt(df).collect()}
+    assert rules == {("/private/", 5), ("/tmp/", 5)}
+
+
+def _cand(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "url string, url_canon string, url_hash long, host string, "
+        "priority double, discovered_at timestamp",
+    ).withColumn("discovered_at", F.timestamp_seconds(F.lit(0)))
+
+
+def test_robots_filter_blocks_prefixes(spark):
+    cand = spark.createDataFrame(
+        [
+            ("https://a.com/private/x", 1, "a.com"),
+            ("https://a.com/public/y", 2, "a.com"),
+            ("https://b.com/private/z", 3, "b.com"),
+        ],
+        "url_canon string, url_hash long, host string",
+    )
+    rules = spark.createDataFrame(
+        [("a.com", "/private/", 0)], "host string, disallow_prefix string, crawl_delay int"
+    )
+    got = {r["url_hash"] for r in robots_filter(cand, rules).collect()}
+    assert got == {2, 3}  # a.com/private blocked; b.com untouched
+
+
+def test_crawl_delay_budget(spark):
+    rules = spark.createDataFrame(
+        [("a.com", "/x/", 30), ("b.com", "/y/", 0)],
+        "host string, disallow_prefix string, crawl_delay int",
+    )
+    budgets = {r["host"]: r["host_budget"] for r in
+               budget_with_crawl_delay(rules, base_budget=10, round_seconds=60).collect()}
+    assert budgets == {"a.com": 2, "b.com": 10}  # 60s / delay 30 = 2
+
+
+def test_politeness_respects_budget_table(spark):
+    rows = [
+        (f"u{i}", f"https://slow.com/{i}", i, "slow.com", float(i), None)
+        for i in range(10)
+    ] + [
+        (f"v{i}", f"https://fast.com/{i}", 100 + i, "fast.com", float(i), None)
+        for i in range(10)
+    ]
+    cand = _cand(spark, rows)
+    budget = spark.createDataFrame([("slow.com", 2)], "host string, host_budget int")
+    out = politeness_schedule(cand, host_budget=5, salt_k=2, budget_table=budget)
+    per_host = {r["host"]: r["count"] for r in out.groupBy("host").count().collect()}
+    assert per_host == {"slow.com": 2, "fast.com": 5}
+
+
+def test_scheduler_with_robots(spark, tmp_path):
+    """End-to-end: a rule disallowing /start/ for the hot host empties its
+    schedule; crawl-delay throttles another host's budget."""
+    rules = spark.createDataFrame(
+        [("hot.example.com", "/start/", 0), ("seed103.example.com", "/nope/", 30)],
+        "host string, disallow_prefix string, crawl_delay int",
+    )
+    store = StateStore(str(tmp_path / "s"))
+    sched = CrawlScheduler(
+        spark, store, host_budget=4, salt_k=4, n_buckets=8,
+        robots_rules=rules, round_seconds=60,
+    )
+    sched.bootstrap(seed_frontier(spark, n=200))
+    sched.step()
+    log = sched.crawl_order()
+    hot = log.filter(F.col("host") == "hot.example.com").count()
+    assert hot == 0  # fully disallowed
+    slow = log.filter((F.col("host") == "seed103.example.com") & (F.col("round") == 1)).count()
+    assert slow <= 2  # crawl-delay 30 -> budget 60/30 = 2
