@@ -320,6 +320,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_near_dups"] = lambda s, d: SIM.embedding_near_dups(_emb(s, d), threshold=0.4)
     q["ann_lsh_bucketed"] = lambda s, d: SIM.ann_bucketed_top1(_emb(s, d), dim=64, n_planes=6)
 
+    # --- extraction + multimodal (rows-only: binary payloads, UDF sniff) --
+    def extraction_select(s, d):
+        from simplecommoncrawlextractor_spark.operators.extraction import (
+            ExtractorConfig,
+            extract,
+        )
+        from simplecommoncrawlextractor_spark.operators.multimodal import (
+            media_payloads_from_docs,
+        )
+
+        docs = interleaved_documents(s, d)
+        media = media_payloads_from_docs(docs)
+        records = media.select(
+            F.concat(F.lit("https://media.example.com/"), F.col("media_ref")).alias("url"),
+            F.lit("application/octet-stream").alias("header_mime"),
+            F.col("payload"),
+            F.lit(None).cast("string").alias("truncated"),
+            F.length("payload").cast("long").alias("length"),
+        )
+        cfg = ExtractorConfig(include_detected_mimes="image/")
+        return extract(records, cfg).select("digest", "shard", "ext", "detected_mime", "url")
+
+    q["extraction_select"] = extraction_select
+
+    def multimodal_features(s, d):
+        from simplecommoncrawlextractor_spark.operators.multimodal import (
+            image_features,
+            media_payloads_from_docs,
+        )
+
+        media = media_payloads_from_docs(interleaved_documents(s, d))
+        return image_features(media).select(
+            "media_ref", "mime", "width", "height", "n_bytes"
+        ).orderBy("media_ref")
+
+    q["multimodal_image_features"] = multimodal_features
+
     # --- frontier (rows-only: pandas-UDF canonicalization inside) --------
     def frontier_batch(s, d):
         docs = interleaved_documents(s, d)
