@@ -59,14 +59,28 @@ def minhash_signatures(
     uniform permutation of shingle space). Portable — DuckDB md5 is
     byte-identical. Output: (doc_id, salt, sig)."""
     base = sh.select(F.col(id_col), F.md5("shingle").alias("h0"))
-    salts = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("salt")
-    exploded = base.select(F.col(id_col), F.col("h0"), salts)
-    h = F.md5(F.concat(F.col("salt").cast("string"), F.col("h0")))
-    return (
-        exploded.select(F.col(id_col), F.col("salt"), h.alias("h"))
-        .groupBy(id_col, "salt")
-        .agg(F.min("h").alias("sig"))
+    # all n salted hashes as COLUMNS of one row (not an n-way explode):
+    # the groupBy then shuffles one partially-min'd row per (doc,partition)
+    # instead of n_hashes × shingles rows — 8× fewer shuffle rows here
+    hashed = base.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(str(s)), F.col("h0"))).alias(f"h{s}")
+            for s in range(n_hashes)
+        ],
     )
+    mins = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{s}").alias(f"m{s}") for s in range(n_hashes)]
+    )
+    sig_structs = F.array(
+        *[
+            F.struct(F.lit(s).alias("salt"), F.col(f"m{s}").alias("sig"))
+            for s in range(n_hashes)
+        ]
+    )
+    return mins.select(
+        F.col(id_col), F.explode(sig_structs).alias("x")
+    ).select(id_col, F.col("x.salt").alias("salt"), F.col("x.sig").alias("sig"))
 
 
 def minhash_lsh_candidates(
