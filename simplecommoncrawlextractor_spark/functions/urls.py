@@ -95,6 +95,31 @@ def _sort_query(q: str) -> str:
     return urlencode(sorted(parse_qsl(q, keep_blank_values=True)))
 
 
+# query strings of plain k=v pairs (no %-escapes, '+', or valueless keys):
+# sorting the raw parts equals parse_qsl→sort→urlencode, no decode round-trip
+_PLAIN_QS_RE = (
+    r"^[A-Za-z0-9_.~\-]+=[A-Za-z0-9_.~\-]*"
+    r"(?:&[A-Za-z0-9_.~\-]+=[A-Za-z0-9_.~\-]*)*$"
+)
+
+
+def _fast_sort_parts(parts: list[str]) -> str:
+    # sort by (key, value) tuples — matches parse_qsl ordering exactly
+    # (raw-string sort would diverge when one key prefixes another, since
+    # '=' compares greater than digits); every char here is urlencode-safe,
+    # so skipping the decode/encode round-trip is lossless
+    return "&".join("=".join(kv) for kv in sorted(p.split("=", 1) for p in parts))
+
+
+def _sort_query_series(q: pd.Series) -> pd.Series:
+    """Query sort with a cheap path for the dominant plain k=v&k2=v2 shape;
+    only escaped/odd queries pay the full parse_qsl/urlencode round-trip."""
+    plain = q.str.match(_PLAIN_QS_RE, na=False)
+    fast = q[plain].str.split("&").map(_fast_sort_parts)
+    slow = q[~plain].map(lambda s: _sort_query(s) if isinstance(s, str) else s)
+    return pd.concat([fast, slow]).reindex(q.index)
+
+
 @F.pandas_udf(StringType())
 def canonicalize_url(url: pd.Series) -> pd.Series:
     """Vectorized canonicalizer: lowercase scheme/host, strip default ports,
@@ -127,7 +152,7 @@ def canonicalize_url(url: pd.Series) -> pd.Series:
     path = parts["path"].fillna("/").str.replace(r"/{2,}", "/", regex=True)
     q = parts["query"]
     has_q = q.notna() & (q != "")
-    sorted_q = q[has_q].map(_sort_query) if has_q.any() else q[has_q]
+    sorted_q = _sort_query_series(q[has_q]) if has_q.any() else q[has_q]
     rebuilt = scheme + "://" + netloc + path
     rebuilt = rebuilt.where(~has_q, rebuilt + "?" + sorted_q)
     rebuilt = rebuilt.where(decomposable, None)

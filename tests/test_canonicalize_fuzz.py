@@ -1,0 +1,47 @@
+"""Fuzz: the tiered vectorized canonicalizer must agree with the
+row-wise reference implementation (_canon_one) on every URL shape —
+prefix-colliding query keys, %-escapes, '+', valueless keys, ports,
+trailing dots, uppercase."""
+
+from __future__ import annotations
+
+import random
+
+from simplecommoncrawlextractor_spark.functions import canonicalize_url
+from simplecommoncrawlextractor_spark.functions.urls import _canon_one
+
+
+def _gen_cases(n=400, seed=7):
+    rng = random.Random(seed)
+    keys = ["a", "a1", "ab", "b", "z~", "k_1", "A"]
+    vals = ["1", "10", "2", "", "x-y", "%20z", "w+q", "%2F"]
+    hosts = ["Ex.COM", "ex.com.", "a.b.c.d", "EX.com:80", "ex.com:8443"]
+    schemes = ["http", "HTTP", "https", "HtTpS"]
+    out = []
+    for i in range(n):
+        qs = "&".join(
+            f"{rng.choice(keys)}={rng.choice(vals)}"
+            for _ in range(rng.randint(1, 4))
+        )
+        frag = "#f" if rng.random() < 0.3 else ""
+        path = rng.choice(["/p/x", "//dbl//slash", "/UP/Case", "", "/"])
+        out.append(f"{rng.choice(schemes)}://{rng.choice(hosts)}{path}?{qs}{frag}")
+    out += [
+        "https://e.com/p?a",          # valueless key -> slow path
+        "https://e.com/p?a&b=2",
+        "https://e.com/p?x=%41&y=+",  # escapes -> decode/encode round-trip
+        "ftp://e.com/x",              # non-http -> None
+        "http://user:pw@e.com/x",     # userinfo -> tier-3
+        "not a url",
+    ]
+    return out
+
+
+def test_vectorized_matches_reference(spark):
+    cases = _gen_cases()
+    df = spark.createDataFrame([(c,) for c in cases], "v string")
+    got = [r[0] for r in df.select(canonicalize_url("v")).collect()]
+    bad = [
+        (c, g, _canon_one(c)) for c, g in zip(cases, got) if g != _canon_one(c)
+    ]
+    assert not bad, bad[:5]
