@@ -66,6 +66,28 @@ def synth_robots_rules(spark: SparkSession, hosts: DataFrame) -> DataFrame:
     return rules_private.unionByName(rules_p).unionByName(rules_delay)
 
 
+def fetch_robots_bodies(hosts: DataFrame) -> DataFrame:
+    """Simulated per-host /robots.txt fetch (the production version is one
+    more ranged-fetch stage through the same scheduler): deterministic
+    bodies derived from the host hash — every 3rd host disallows /private/,
+    every 5th /p/, every 7th sets Crawl-delay 2, the rest allow all."""
+    h = F.xxhash64("host")
+    body = F.concat(
+        F.lit("User-agent: *\n"),
+        F.when(F.pmod(h, F.lit(3)) == 0, F.lit("Disallow: /private/\n")).otherwise(F.lit("")),
+        F.when(F.pmod(h, F.lit(5)) == 0, F.lit("Disallow: /p/\n")).otherwise(F.lit("")),
+        F.when(F.pmod(h, F.lit(7)) == 0, F.lit("Crawl-delay: 2\n")).otherwise(F.lit("")),
+    )
+    return hosts.select("host", body.alias("body"))
+
+
+def bootstrap_robots(hosts: DataFrame) -> DataFrame:
+    """The full robots path: fetch (simulated) → parse → rules table —
+    what a production crawl runs once per newly-seen host before its URLs
+    become schedulable."""
+    return parse_robots_txt(fetch_robots_bodies(hosts))
+
+
 def robots_filter(candidates: DataFrame, rules: DataFrame) -> DataFrame:
     """Drop candidates whose canonical path starts with a disallowed prefix
     for their host. Broadcast left-join + prefix test + anti-aggregation —

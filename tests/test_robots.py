@@ -71,6 +71,25 @@ def test_politeness_respects_budget_table(spark):
     assert per_host == {"slow.com": 2, "fast.com": 5}
 
 
+def test_bootstrap_robots_full_path(spark):
+    """fetch(simulated) → parse → rules: hosts hit their hash-derived
+    disallow/delay rules; allow-all hosts produce no rules."""
+    from simplecommoncrawlextractor_spark.plans.robots import bootstrap_robots
+
+    hosts = seed_frontier(spark, n=300).selectExpr(
+        "parse_url(url, 'HOST') AS host"
+    ).distinct()
+    rules = bootstrap_robots(hosts)
+    rows = rules.collect()
+    assert rows, "some hosts must publish rules"
+    prefixes = {r["disallow_prefix"] for r in rows}
+    assert prefixes <= {"/private/", "/p/"}
+    assert any(r["crawl_delay"] == 2 for r in rows)
+    # rules are a strict subset of hosts
+    n_hosts = hosts.count()
+    assert rules.select("host").distinct().count() < n_hosts
+
+
 def test_scheduler_with_robots(spark, tmp_path):
     """End-to-end: a rule disallowing /start/ for the hot host empties its
     schedule; crawl-delay throttles another host's budget."""
