@@ -376,6 +376,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frontier_harvest_by_host"] = harvest_counts
 
+    def scheduler_one_round(s, d):
+        """The full stateful engine, one bootstrap + one drain round in a
+        throwaway state dir: politeness schedule → simulated fetch →
+        FETCH_STATUS classify → fetch_log. Deterministic output (rows-only
+        check: bloom state + checkpointing aren't SQL)."""
+        import tempfile
+
+        from simplecommoncrawlextractor_spark.plans import (
+            CrawlScheduler,
+            StateStore,
+        )
+        from simplecommoncrawlextractor_spark.sources import seed_frontier
+
+        root = tempfile.mkdtemp(prefix="ccspark-gate-")
+        sched = CrawlScheduler(
+            s, StateStore(root), host_budget=5, salt_k=4, n_buckets=16
+        )
+        sched.bootstrap(seed_frontier(s, n=500))
+        sched.step()
+        return sched.crawl_order()
+
+    q["scheduler_one_round"] = scheduler_one_round
+
     return q
 
 
