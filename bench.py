@@ -100,8 +100,20 @@ def run_scheduler_throughput(n_seeds: int, rounds: int) -> dict:
     root = tempfile.mkdtemp(prefix="ccspark-bench-state-")
     try:
         store = StateStore(root)
-        sched = CrawlScheduler(spark, store, host_budget=20, salt_k=8, n_buckets=32)
-        sched.bootstrap(seed_frontier(spark, n=n_seeds))
+        sched = CrawlScheduler(
+            spark,
+            store,
+            host_budget=int(os.environ.get("SPARK_GRAFT_BUDGET", "20")),
+            salt_k=8,
+            n_buckets=64,
+        )
+        sched.bootstrap(
+            seed_frontier(
+                spark,
+                n=n_seeds,
+                n_hosts=int(os.environ.get("SPARK_GRAFT_HOSTS", "997")),
+            )
+        )
         t0 = time.time()
         stats = sched.run(rounds)
         dt = time.time() - t0

@@ -105,14 +105,18 @@ def interleaved_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def seed_frontier(spark: SparkSession, n: int = 10_000, hot_share: int = 3) -> DataFrame:
+def seed_frontier(
+    spark: SparkSession, n: int = 10_000, hot_share: int = 3, n_hosts: int = 997
+) -> DataFrame:
     """Seed URL list with a deliberately hot host: ``hot_share``/10 of all
     rows land on hot.example.com (north_rule skew clause). Priority and
-    discovered_at are key-derived — fully deterministic."""
+    discovered_at are key-derived — fully deterministic. ``n_hosts``
+    controls the cold-host fan-out (default 997 — pinned: the pure-Python
+    reference simulator in tests mirrors it)."""
     r = spark.range(n)  # id: bigint
     k = F.col("id")
     host = F.when(k % 10 < hot_share, F.lit("hot.example.com")).otherwise(
-        F.concat(F.lit("seed"), (k % 997).cast("string"), F.lit(".example.com"))
+        F.concat(F.lit("seed"), (k % n_hosts).cast("string"), F.lit(".example.com"))
     )
     url = F.concat(F.lit("https://"), host, F.lit("/start/"), k.cast("string"))
     return r.select(
