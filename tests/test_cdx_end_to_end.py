@@ -1,0 +1,50 @@
+"""S1→P1→A1 end-to-end: multi-shard gzipped CDX files on disk, scanned and
+parsed by the engine, must aggregate to exactly the counts computed from
+the ground-truth rows they were serialized from."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from pyspark.sql import functions as F
+
+from simplecommoncrawlextractor_spark.operators.analytics import a1_count_mimes
+from simplecommoncrawlextractor_spark.operators.cdxview import cdx_view
+from simplecommoncrawlextractor_spark.sources import read_cdx
+
+
+def test_gz_cdx_shards_roundtrip(spark, sf_dir, tmp_path):
+    truth = cdx_view(spark, sf_dir).limit(3000).cache()
+    rows = truth.select("url", "mime_detected", "status", "digest").collect()
+
+    # serialize as 4 gzipped CDX shards (SURT-key ts {json}) with some junk
+    shard_dir = tmp_path / "cdx"
+    os.makedirs(shard_dir)
+    for s in range(4):
+        with gzip.open(shard_dir / f"cdx-{s:05d}.gz", "wt") as f:
+            for i, r in enumerate(rows):
+                if i % 4 != s:
+                    continue
+                f.write(
+                    f'key)/ 20260101000000 {{"url": "{r["url"]}", '
+                    f'"mime": "{r["mime_detected"]}", "status": "{r["status"]}", '
+                    f'"digest": "{r["digest"]}"}}\n'
+                )
+            f.write("corrupt line no json\n")  # swallowed, per reference
+
+    parsed = read_cdx(spark, str(shard_dir / "*.gz"))
+    assert parsed.count() == len(rows)  # every shard read, junk dropped
+    # one input partition per gz shard (gzip is unsplittable — the
+    # reference's file-per-thread parallelism unit)
+    assert parsed.rdd.getNumPartitions() == 4
+
+    got = {(r["mime"], r["cnt"]) for r in a1_count_mimes(parsed).collect()}
+    want = {
+        (r["mime"], r["cnt"])
+        for r in truth.groupBy(F.col("mime_detected").alias("mime"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == want
+    truth.unpersist()
