@@ -166,6 +166,8 @@ class CrawlScheduler:
         ).select("bucket", "url_hash")
         seen2 = seen_rows.unionByName(newly_seen)
         blooms2 = self.seen.merge_blooms(blooms, scheduled.select("url_hash"))
+        # keep FP rates honest: grow any bucket that outran its bit budget
+        blooms2 = self.seen.rebuild_overfull_blooms(blooms2, seen2)
 
         # harvest next-round candidates, dedup vs (updated) seen set
         t1 = time.time()

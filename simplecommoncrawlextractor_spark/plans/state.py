@@ -185,10 +185,9 @@ class BloomSeenSet:
                 )
             row = bpdf.iloc[0]
             n_bits, n_items = int(row["n_bits"]), int(row["n_items"]) + len(hashes)
-            if _bits_for(n_items) > n_bits:
-                # grow: rebuild is impossible without the exact rows — mark
-                # by growing lazily at the next full rebuild; keep OR-ing.
-                pass
+            # growth is handled OUTSIDE this merge: rebuild_overfull_blooms
+            # re-derives oversubscribed buckets from the exact rows (the
+            # n_items bookkeeping below is what flags them)
             bm = np.frombuffer(row["bitmap"], dtype=np.uint8).copy()
             if len(hashes):
                 pos = _probe_positions(hashes, n_bits, int(row["n_hashes"])).ravel()
@@ -209,6 +208,23 @@ class BloomSeenSet:
             .applyInPandas(merge, BLOOM_SCHEMA)
         )
 
+
+    def rebuild_overfull_blooms(
+        self, blooms: DataFrame, seen_rows: DataFrame
+    ) -> DataFrame:
+        """Grow any bucket whose item count has outrun its bit budget
+        (false-positive rate would decay otherwise): rebuild just those
+        buckets' blobs from the exact rows. Bucket-local, rare (a bucket
+        doubles capacity each rebuild), and cheap relative to the probe
+        traffic it keeps honest."""
+        overfull = blooms.filter(
+            F.col("n_items") * BITS_PER_ITEM > F.col("n_bits")
+        ).select("bucket")
+        rebuilt = self.build_blooms(
+            seen_rows.join(F.broadcast(overfull), "bucket", "left_semi")
+        )
+        untouched = blooms.join(rebuilt.select("bucket"), "bucket", "left_anti")
+        return untouched.unionByName(rebuilt)
 
     def delete(self, seen_rows: DataFrame, victims: DataFrame) -> tuple[DataFrame, DataFrame]:
         """The deletion path (cuckoo-filter role): remove ``victims``

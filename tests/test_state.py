@@ -5,6 +5,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from simplecommoncrawlextractor_spark.plans.state import (
     BloomSeenSet,
@@ -89,3 +90,30 @@ def test_statestore_torn_commit_invisible(spark, tmp_path):
     os.makedirs(os.path.join(store.root, "t", "v99"), exist_ok=True)
     assert store.snapshot_id() == 1
     assert store.read(spark, "t", "id long").count() == 3
+
+
+def test_rebuild_overfull_blooms(spark):
+    """A bucket seeded tiny then flooded past its bit budget gets rebuilt
+    at the next maintenance pass — FP rate returns to design range."""
+    seen = BloomSeenSet(n_buckets=2)
+    first = seen.bucketize(
+        spark.range(0, 50).selectExpr("xxhash64(cast(id as string)) as url_hash")
+    ).select("bucket", "url_hash")
+    blooms = seen.build_blooms(first)  # sized for ~50 items (MIN_BITS floor)
+    flood = spark.range(50, 30050).selectExpr(
+        "xxhash64(cast(id as string)) as url_hash"
+    )
+    merged = seen.merge_blooms(blooms, flood)
+    all_rows = seen.bucketize(
+        spark.range(0, 30050).selectExpr("xxhash64(cast(id as string)) as url_hash")
+    ).select("bucket", "url_hash")
+    # before rebuild: blobs undersized for 15k items/bucket at MIN_BITS=8Kibit
+    over = merged.filter(F.col("n_items") * 10 > F.col("n_bits")).count()
+    assert over == 2
+    rebuilt = seen.rebuild_overfull_blooms(merged, all_rows)
+    assert rebuilt.filter(F.col("n_items") * 10 > F.col("n_bits")).count() == 0
+    # correctness preserved: nothing seen may pass the probe
+    cand = spark.range(0, 30050).selectExpr(
+        "xxhash64(cast(id as string)) as url_hash", "cast(id as string) as url"
+    )
+    assert seen.probe(cand, all_rows, rebuilt).count() == 0
