@@ -18,6 +18,11 @@ from .scalars import (  # noqa: F401
     url_ext_warc,
 )
 from .urls import canonicalize_url, extract_urls, url_filter_ok  # noqa: F401
+from .mappers import (  # noqa: F401
+    capture_field_mapper,
+    filter_field_mapper,
+    identity_field_mapper,
+)
 from .hashing import b32_sha1, url_hash64  # noqa: F401
 from .sniff import sniff_mime  # noqa: F401
 from .text import (  # noqa: F401
