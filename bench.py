@@ -160,8 +160,16 @@ def run_dedup_throughput(n_urls: int, trials: int = 3) -> dict:
     )
     urls = spark.range(n_urls).select(raw.alias("url")).cache()
     urls.count()
-    seen_host = F.concat(F.lit("h"), (k % 4999).cast("string"), F.lit(".example.com"))
-    seen_url = F.concat(F.lit("https://"), seen_host, F.lit("/p/"), k.cast("string"))
+    # the seen set holds the CANONICAL form of the first half of the
+    # candidates — 50% of probes are true bloom-positives that must be
+    # confirmed by the exact anti-join (measuring only the bloom-negative
+    # fast path would overstate dedup throughput)
+    seen_host = F.when(k % 10 < 3, F.lit("hot.example.com")).otherwise(
+        F.concat(F.lit("h"), (k % 4999).cast("string"), F.lit(".example.com"))
+    )
+    seen_url = F.concat(
+        F.lit("http://"), seen_host, F.lit("/P/"), k.cast("string"), F.lit("?a=1&b=2")
+    )
     seen_rows = seen_set.bucketize(
         spark.range(n_urls // 2).select(F.xxhash64(seen_url).alias("url_hash"))
     ).select("bucket", "url_hash").cache()

@@ -25,8 +25,11 @@ from pyspark.sql.types import ArrayType, StringType
 
 # Matches absolute http(s) URLs and protocol-relative //host/path
 # (ExternalLinkExtractor.java:142-144 prepends "http:" to '//' links).
+# The protocol-relative alternative must NOT fire on the '//' inside other
+# schemes (ftp://, wss://, ...) — that would fabricate http URLs that never
+# appeared in the document — hence the lookbehind excluding scheme chars.
 _URL_RE = re.compile(
-    r"""(?:https?:)?//[^\s<>"'\])]+""",
+    r"""(?:https?://|(?<![A-Za-z0-9+.:\-])//)[^\s<>"'\])]+""",
     re.IGNORECASE,
 )
 
@@ -147,8 +150,16 @@ def canonicalize_url(url: pd.Series) -> pd.Series:
 
     host = parts["host"].str.lower()
     port = parts["port"]
-    default_port = (scheme + ":" + port.fillna("")).isin(["http:80", "https:443"])
-    netloc = host.where(port.isna() | default_port, host + ":" + port)
+    # compare ports NUMERICALLY (':080' is the default port too) and emit
+    # kept ports in canonical integer form — string comparison here would
+    # disagree with tier-3's parsed-int semantics and split one resource
+    # into two frontier entries
+    pnum = pd.to_numeric(port, errors="coerce")
+    default_port = ((scheme == "http") & (pnum == 80)) | (
+        (scheme == "https") & (pnum == 443)
+    )
+    port_canon = pnum.map(lambda v: "" if pd.isna(v) else str(int(v)))
+    netloc = host.where(port.isna() | default_port, host + ":" + port_canon)
     path = parts["path"].fillna("/").str.replace(r"/{2,}", "/", regex=True)
     q = parts["query"]
     has_q = q.notna() & (q != "")

@@ -45,7 +45,13 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = 
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return docs.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+    # docs shorter than n tokens must emit NO shingles (a partial shingle
+    # would both diverge from the DuckDB oracle and make 2-token docs
+    # Jaccard-comparable via malformed grams) — keep only full n-grams
+    full = F.filter(
+        F.array_distinct(sh), lambda s: F.size(F.split(s, " ")) == n
+    )
+    return docs.select(F.col(id_col), F.explode(full).alias("shingle"))
 
 
 def minhash_signatures(

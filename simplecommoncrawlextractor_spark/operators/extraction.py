@@ -32,8 +32,38 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import b32_sha1, digest_shard
-from ..functions.scalars import url_ext_warc
+from ..functions.scalars import pick_extension, url_ext_warc
 from ..functions.sniff import sniff_mime
+
+# mime → file extension for the pickExtension cascade (the reference asks
+# Tika's mime registry, AbstractExtractor.java:141-154; this literal map
+# covers the sniffer's output vocabulary and compiles into the plan)
+MIME_EXT: dict[str, str] = {
+    "application/pdf": ".pdf",
+    "application/zip": ".zip",
+    "application/gzip": ".gz",
+    "application/rtf": ".rtf",
+    "text/html": ".html",
+    "text/plain": ".txt",
+    "image/png": ".png",
+    "image/gif": ".gif",
+    "image/jpeg": ".jpg",
+    "image/webp": ".webp",
+    "image/jp2": ".jp2",
+    "audio/ogg": ".ogg",
+    "audio/mpeg": ".mp3",
+    "audio/x-wav": ".wav",
+    "video/mp4": ".mp4",
+    "video/x-msvideo": ".avi",
+}
+
+
+def _mime_ext(c: Column) -> Column:
+    pairs: list[Column] = []
+    for k, v in MIME_EXT.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    # strip parameters ('text/html; charset=...') before the lookup
+    return F.create_map(*pairs)[F.trim(F.substring_index(c, ";", 1))]
 
 
 @dataclass
@@ -127,9 +157,17 @@ def extract(
         df = df.join(F.broadcast(seen_digests), "digest", "left_anti")
     # one payload per digest — the repo never overwrites (Extractor :159-162)
     df = df.dropDuplicates(["digest"])
+    # the full pickExtension cascade: detected-mime ▸ header-mime ▸ url ▸ .unk
+    # (octet-stream carries no extension information — fall through, as the
+    # reference's MediaType.OCTET_STREAM guards do)
+    detected_ext = F.when(
+        F.col("detected_mime") != "application/octet-stream",
+        _mime_ext(F.col("detected_mime")),
+    )
+    header_ext = _mime_ext(F.col("header_mime"))
+    ext = pick_extension(F.col("url_ext"), header_ext, detected_ext)
     return df.select(
-        "digest", "shard", F.coalesce(F.col("url_ext"), F.lit(".unk")).alias("ext"),
-        "detected_mime", "url", "payload",
+        "digest", "shard", ext.alias("ext"), "detected_mime", "url", "payload"
     )
 
 

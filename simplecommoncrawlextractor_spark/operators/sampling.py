@@ -87,9 +87,13 @@ def tld_mime_rate(
     default: float = 0.0,
 ) -> Column:
     """3-col variant (tld → mime → rate) with ANY_TLD fallback
-    (DownSample.java:203-219)."""
+    (DownSample.java:203-219). Exact TLD entries are always consulted
+    BEFORE the ANY_TLD entry regardless of dict insertion order — the
+    reference checks the exact TLD first and falls back only on miss."""
     out = F.lit(None).cast("double")
-    for tld, mimes in table.items():
+    specific = [(t, m) for t, m in table.items() if t != ANY_TLD]
+    ordered = specific + [(ANY_TLD, table[ANY_TLD])] if ANY_TLD in table else specific
+    for tld, mimes in ordered:
         rate = resolve_rate(mime_col, mimes, default=None)  # type: ignore[arg-type]
         cond = F.lit(True) if tld == ANY_TLD else (tld_col == tld)
         out = F.coalesce(out, F.when(cond, rate))

@@ -44,8 +44,12 @@ def parse_robots_txt(bodies: DataFrame, host_col: str = "host", body_col: str = 
         .cast("int")
         .alias("crawl_delay"),
     ).groupBy("host").agg(F.max("crawl_delay").alias("crawl_delay"))
-    return dis.join(delay, "host", "left").select(
-        "host", "disallow_prefix", F.coalesce("crawl_delay", F.lit(0)).alias("crawl_delay")
+    # FULL outer: a robots.txt with only Crawl-delay (no Disallow) must
+    # still yield a rules row, or its delay silently stops being enforced
+    return dis.join(delay, "host", "full").select(
+        "host",
+        F.col("disallow_prefix"),  # null = no disallow, delay-only host
+        F.coalesce("crawl_delay", F.lit(0)).alias("crawl_delay"),
     )
 
 
@@ -112,11 +116,19 @@ def budget_with_crawl_delay(
     """Per-host budget table: hosts with Crawl-delay d get at most
     round_seconds/d fetches per round (min 1), others the base budget."""
     per_host = rules.groupBy("host").agg(F.max("crawl_delay").alias("crawl_delay"))
+    # Crawl-delay may only THROTTLE: the derived budget is clamped to
+    # base_budget so a small delay can never raise a host above the cap
+    # applied to hosts with no robots.txt at all
     return per_host.select(
         "host",
         F.when(
             F.col("crawl_delay") > 0,
-            F.greatest(F.floor(F.lit(round_seconds) / F.col("crawl_delay")), F.lit(1)),
+            F.least(
+                F.lit(base_budget),
+                F.greatest(
+                    F.floor(F.lit(round_seconds) / F.col("crawl_delay")), F.lit(1)
+                ),
+            ),
         )
         .otherwise(F.lit(base_budget))
         .cast("int")

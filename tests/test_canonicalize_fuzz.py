@@ -15,7 +15,8 @@ def _gen_cases(n=400, seed=7):
     rng = random.Random(seed)
     keys = ["a", "a1", "ab", "b", "z~", "k_1", "A"]
     vals = ["1", "10", "2", "", "x-y", "%20z", "w+q", "%2F"]
-    hosts = ["Ex.COM", "ex.com.", "a.b.c.d", "EX.com:80", "ex.com:8443"]
+    hosts = ["Ex.COM", "ex.com.", "a.b.c.d", "EX.com:80", "ex.com:8443",
+             "ex.com:080", "ex.com:08080"]  # zero-padded ports: numeric parity
     schemes = ["http", "HTTP", "https", "HtTpS"]
     out = []
     for i in range(n):

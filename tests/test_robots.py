@@ -83,8 +83,12 @@ def test_bootstrap_robots_full_path(spark):
     rows = rules.collect()
     assert rows, "some hosts must publish rules"
     prefixes = {r["disallow_prefix"] for r in rows}
-    assert prefixes <= {"/private/", "/p/"}
+    assert prefixes <= {"/private/", "/p/", None}
     assert any(r["crawl_delay"] == 2 for r in rows)
+    # delay-ONLY hosts (no Disallow line) must still surface their delay
+    assert any(
+        r["disallow_prefix"] is None and r["crawl_delay"] == 2 for r in rows
+    )
     # rules are a strict subset of hosts
     n_hosts = hosts.count()
     assert rules.select("host").distinct().count() < n_hosts

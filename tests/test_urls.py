@@ -29,6 +29,11 @@ def test_extract_urls(spark):
     assert got[0] == ["https://a.com/x", "http://b.com/y"]  # protocol-relative -> http:
     assert got[1] == []
     assert got[2] == []
+    # non-http schemes must NOT be harvested as fabricated http URLs
+    ftp = spark.createDataFrame(
+        [("get ftp://files.ex.com/a.tar or wss://s.ex.com/ws now",)], "v string"
+    )
+    assert ftp.select(extract_urls("v")).collect()[0][0] == []
 
 
 def test_canonicalize_url(spark):
