@@ -434,13 +434,16 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT {_TLD} AS tld, charset, count(*) AS cnt "
         "FROM cdx WHERE status = 200 AND url NOT LIKE '%robots.txt' "
         "AND charset IS NOT NULL AND trim(charset) != '' "
+        f"AND trim({_TLD}) != '' "
         "GROUP BY 1, 2 ORDER BY tld, cnt DESC, charset"
     )
     o["a9_count_tld_charset_lang"] = oracle_cte(
-        f"SELECT {_TLD} AS tld, coalesce(charset, 'NULL') AS charset, {_LANG1} AS lang, "
-        "count(*) AS cnt FROM cdx "
+        f"SELECT {_TLD} AS tld, "
+        "CASE WHEN charset IS NULL OR charset = '' THEN 'UNK' ELSE charset END AS charset, "
+        f"{_LANG1} AS lang, count(*) AS cnt FROM cdx "
         "WHERE status = 200 AND url NOT LIKE '%robots.txt' "
-        f"AND ({_MIME} LIKE '%html%' OR {_MIME} LIKE '%text%') "
+        f"AND (coalesce({_MIME_DET}, 'NULL') LIKE '%html%' "
+        f"OR coalesce({_MIME_DET}, 'NULL') LIKE '%text%') "
         "GROUP BY 1, 2, 3 ORDER BY tld, charset, cnt DESC, lang"
     )
     o["a10_mime_confusion"] = oracle_cte(

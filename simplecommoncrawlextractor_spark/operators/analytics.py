@@ -140,10 +140,13 @@ def a7_count_tld_mime_detected(cdx: DataFrame) -> DataFrame:
 
 
 def a8_count_tld_charset(cdx: DataFrame) -> DataFrame:
-    """A8: (tld, charset) counts, blank charsets dropped
-    (CountCharsetByTopLevelDomains.java:54-91)."""
+    """A8: (tld, charset) counts, blank tlds AND blank charsets dropped
+    (CountCharsetByTopLevelDomains.java:67-70: skips
+    StringUtils.isBlank(tld) || isBlank(charset); getTLD returns '' for
+    unparseable/trailing-dot/numeric hosts)."""
     d = with_derived(f2_drop_robots(f1_status_200(cdx))).filter(
         F.col("charset").isNotNull() & (F.trim(F.col("charset")) != "")
+        & F.col("tld").isNotNull() & (F.trim(F.col("tld")) != "")
     )
     return (
         d.groupBy("tld", "charset")
@@ -153,14 +156,22 @@ def a8_count_tld_charset(cdx: DataFrame) -> DataFrame:
 
 
 def a9_count_tld_charset_lang(cdx: DataFrame) -> DataFrame:
-    """A9: (tld, charset, first language), text/html-ish mimes only
-    (CountCharsetAndLangByTopLevelDomains.java:57-112)."""
+    """A9: (tld, charset, first language), html/text DETECTED mimes only
+    (CountCharsetAndLangByTopLevelDomains.java:57-112: the filter is
+    normalizeMime(getMimeDetected()) null-mapped to 'NULL' then
+    contains(html|text); charset maps empty→'UNK' via
+    StringUtils.isEmpty — null or '', NOT whitespace-blank)."""
     d = with_derived(f2_drop_robots(f1_status_200(cdx)))
-    d = d.filter(
-        F.col("mime_norm").contains("html") | F.col("mime_norm").contains("text")
+    mime_det = _nz(normalize_mime("mime_detected"))
+    d = d.withColumn("__mdn", mime_det).filter(
+        F.col("__mdn").contains("html") | F.col("__mdn").contains("text")
+    )
+    charset = (
+        F.when(F.col("charset").isNull() | (F.col("charset") == ""), F.lit("UNK"))
+        .otherwise(F.col("charset"))
     )
     return (
-        d.groupBy("tld", _nz(F.col("charset")).alias("charset"), F.col("lang1").alias("lang"))
+        d.groupBy("tld", charset.alias("charset"), F.col("lang1").alias("lang"))
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.asc("tld"), F.asc("charset"), F.desc("cnt"), F.asc("lang"))
     )

@@ -79,6 +79,10 @@ def dedup_by_hash(c: DataFrame) -> DataFrame:
         (-F.col("priority")).alias("np"),
         F.col("discovered_at").alias("d"),
         F.col("url_canon").alias("u"),
+        # raw url last: canonical twins ('?a=1&b=2' vs '?b=2&a=1') share
+        # url_canon AND the hash-derived priority/discovered_at, so without
+        # this the retained 'url' would be partition-order dependent
+        F.col("url").alias("w"),
     )
     row = F.struct("url", "url_canon", "host", "priority", "discovered_at")
     return (

@@ -37,7 +37,10 @@ def stream_documents_to_frontier(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        cand = canonical_candidates(harvest_outlinks(batch_df))
+        # robots admission runs here too — the streaming path must not
+        # smuggle disallowed URLs past the filter the batch path
+        # (CrawlScheduler.step) applies to every harvested candidate
+        cand = scheduler._admit(canonical_candidates(harvest_outlinks(batch_df)))
         seen_rows = scheduler.url_seen()
         blooms = scheduler.blooms()
         new_cand = scheduler.seen.probe(cand, seen_rows, blooms)
