@@ -124,11 +124,12 @@ class CrawlScheduler:
         pr = F.col("priority") if "priority" in seeds.columns else None
         ts = F.col("discovered_at") if "discovered_at" in seeds.columns else None
         cand = self._admit(canonical_candidates(seeds, priority=pr, discovered_at=ts))
+        # blooms is an upsert table from its first delta — bootstrap doesn't
+        # commit it at all (read of a missing table is empty)
         return self.store.commit(
             {
                 "frontier": cand,
                 "url_seen": self.spark.createDataFrame([], SEEN_SCHEMA),
-                "blooms": self.spark.createDataFrame([], BLOOM_SCHEMA),
             },
             meta={"round": 0},
         )
@@ -165,9 +166,24 @@ class CrawlScheduler:
             scheduled.select("url_hash").distinct()
         ).select("bucket", "url_hash")
         seen2 = seen_rows.unionByName(newly_seen)
-        blooms2 = self.seen.merge_blooms(blooms, scheduled.select("url_hash"))
+        # DELTA bloom maintenance: only buckets receiving new hashes get a
+        # new blob; untouched buckets' blobs are never recomputed or
+        # rewritten — the StateStore upsert commit re-references their
+        # existing files. At the 10^10 design point this is the difference
+        # between ~12 GB of blob writes per round and a few MB.
+        touched = newly_seen.select("bucket").distinct()
+        blooms_touched = blooms.join(F.broadcast(touched), "bucket", "left_semi")
+        blooms_delta = self.seen.merge_blooms(
+            blooms_touched, scheduled.select("url_hash")
+        )
         # keep FP rates honest: grow any bucket that outran its bit budget
-        blooms2 = self.seen.rebuild_overfull_blooms(blooms2, seen2)
+        # (only a touched bucket can newly overflow)
+        blooms_delta = self.seen.rebuild_overfull_blooms(blooms_delta, seen2).cache()
+        # full view for this round's probe = untouched ∪ delta (in-plan
+        # union; nothing extra hits disk)
+        blooms2 = blooms.join(
+            F.broadcast(touched), "bucket", "left_anti"
+        ).unionByName(blooms_delta)
 
         # harvest next-round candidates, dedup vs (updated) seen set
         t1 = time.time()
@@ -192,21 +208,24 @@ class CrawlScheduler:
             )
         )
 
-        # frontier + blooms are rewritten (they mutate in place); url_seen,
-        # fetch_log and metrics are append-only — each round commits ONLY
-        # its delta, so commit cost stays O(round) instead of O(crawl)
+        # frontier is rewritten (it mutates in place); url_seen, fetch_log
+        # and metrics are append-only; blooms upserts only the touched
+        # buckets — each round commits ONLY its delta, so commit cost stays
+        # O(round) instead of O(crawl)
         sid = self.store.commit(
-            tables={"frontier": new_frontier, "blooms": blooms2},
+            tables={"frontier": new_frontier},
             appends={
                 "url_seen": newly_seen,
                 "fetch_log": log,
                 "metrics": metrics_new,
             },
+            upserts={"blooms": blooms_delta},
             partition_by={"url_seen": ["bucket"]},
             meta={"round": rnd},
         )
         fetched.unpersist()
         new_frontier.unpersist()
+        blooms_delta.unpersist()
         return {
             "snapshot": sid,
             "round": rnd,
@@ -242,9 +261,13 @@ class CrawlScheduler:
         )
         seen_rows = self.url_seen()
         remaining, rebuilt = self.seen.delete(seen_rows, victims)
-        blooms2 = self.seen.merge_rebuilt_blooms(self.blooms(), rebuilt)
+        # rebuilt covers only buckets that lost rows; the upsert commit
+        # re-references every other bucket's existing blob file (a bucket
+        # emptied completely keeps its stale blob — bloom-FP-safe, the
+        # exact anti-join still confirms)
         return self.store.commit(
-            tables={"url_seen": remaining, "blooms": blooms2},
+            tables={"url_seen": remaining},
+            upserts={"blooms": rebuilt},
             partition_by={"url_seen": ["bucket"]},
             carry_forward=["frontier", "fetch_log", "metrics"],
             meta={"round": self.round_no()},

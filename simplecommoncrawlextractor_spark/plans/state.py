@@ -254,9 +254,25 @@ class StateStore:
     """Versioned parquet tables + atomic manifest swap (Iceberg-style
     snapshot commits without the jar). Commit = write v{N+1} dirs, then
     os.replace the manifest — readers either see the old snapshot or the
-    new one, never a torn state. Resume = read whatever the manifest pins."""
+    new one, never a torn state. Resume = read whatever the manifest pins.
+
+    Three table kinds:
+    - **rewrite** (``tables=``): full new version each commit (frontier).
+    - **append** (``appends=``): delta part per commit, read = union
+      (url_seen, fetch_log, metrics).
+    - **upsert** (``upserts=``): keyed delta per commit — the manifest maps
+      each key (bloom bucket id) to the part that owns its latest row, so a
+      round writes ONLY the touched buckets' blobs and a read opens only
+      the owning files (bucket-partitioned dirs → partition pruning). This
+      is what keeps the bloom state commit O(round): untouched buckets'
+      files are never rewritten, merely re-referenced. The owner map is
+      bounded by n_buckets (≤4096 at the 10^10 design point) — manifest
+      metadata, not data. Parts compact into a fresh base once the list
+      exceeds MAX_UPSERT_PARTS.
+    """
 
     MANIFEST = "manifest.json"
+    MAX_UPSERT_PARTS = 8
 
     def __init__(self, root: str):
         self.root = root
@@ -281,6 +297,8 @@ class StateStore:
         rel = self.manifest()["tables"].get(name)
         if rel is None:
             return spark.createDataFrame([], schema)
+        if isinstance(rel, dict):
+            return self._read_upsert(spark, rel, schema)
         parts = rel if isinstance(rel, list) else [rel]
         # read each delta dir separately and union by name: multi-root reads
         # trip Spark's partition discovery when parts mix partitioned and
@@ -291,6 +309,16 @@ class StateStore:
             out = out.unionByName(d)
         return out
 
+    def _read_upsert(self, spark: SparkSession, entry: dict, schema: str) -> DataFrame:
+        """Resolve an upsert table: for each part, read only the keys it
+        currently owns (latest writer). Disjoint by construction — a plain
+        union, no shuffle, and bucket-partitioned dirs mean Spark opens
+        only the owned partitions' files."""
+        if not entry["owners"]:
+            return spark.createDataFrame([], schema)
+        cols = [f.strip().split()[0] for f in schema.split(",")]
+        return self._read_upsert_entry(spark, entry).select(*cols)
+
     # -- commit -----------------------------------------------------------
     def commit(
         self,
@@ -299,15 +327,19 @@ class StateStore:
         meta: dict | None = None,
         carry_forward: Iterable[str] = (),
         appends: dict[str, DataFrame] | None = None,
+        upserts: dict[str, DataFrame] | None = None,
+        upsert_keys: dict[str, str] | None = None,
     ) -> int:
         """Write new versions of ``tables``, append delta files to
         ``appends`` tables (the manifest tracks the part list — an append
         round writes only the delta, never rewrites history; this is what
-        keeps per-round commit cost O(round), not O(crawl)), carry forward
-        unchanged tables, then atomically swap the manifest."""
+        keeps per-round commit cost O(round), not O(crawl)), write keyed
+        ``upserts`` deltas (only the touched keys' rows; the manifest owner
+        map redirects readers), carry forward unchanged tables, then
+        atomically swap the manifest."""
         m = self.manifest()
         sid = int(m["snapshot"]) + 1
-        new_tables: dict[str, str | list[str]] = {}
+        new_tables: dict[str, str | list[str] | dict] = {}
         for name in carry_forward:
             if name in m["tables"]:
                 new_tables[name] = m["tables"][name]
@@ -327,6 +359,10 @@ class StateStore:
             prev = m["tables"].get(name, [])
             parts = prev if isinstance(prev, list) else [prev]
             new_tables[name] = parts + [rel]
+        for name, df in (upserts or {}).items():
+            new_tables[name] = self._commit_upsert(
+                m, sid, name, df, (upsert_keys or {}).get(name, "bucket")
+            )
         manifest = {
             "snapshot": sid,
             "tables": new_tables,
@@ -337,3 +373,74 @@ class StateStore:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, self._manifest_path())
         return sid
+
+    def _commit_upsert(
+        self, m: dict, sid: int, name: str, df: DataFrame, keycol: str
+    ) -> dict:
+        """Write the delta part (bucket-partitioned), update the key→part
+        owner map, and compact once the part list grows past
+        MAX_UPSERT_PARTS. The distinct-key collect is bounded by the key
+        domain (bloom bucket count), i.e. manifest metadata — it never
+        scales with row count."""
+        rel = f"{name}/u{sid}"
+        df.write.mode("overwrite").partitionBy(keycol).parquet(
+            os.path.join(self.root, rel)
+        )
+        new_keys = [r[0] for r in df.select(keycol).distinct().collect()]
+        prev = m["tables"].get(name)
+        if prev is None:
+            parts, owners = [], {}
+        elif isinstance(prev, dict):
+            parts, owners = list(prev["parts"]), dict(prev["owners"])
+        else:
+            # migrate a plain table: its single latest version becomes part 0
+            spark = df.sparkSession
+            prev_parts = prev if isinstance(prev, list) else [prev]
+            base = spark.read.parquet(
+                *[os.path.join(self.root, p) for p in prev_parts]
+            )
+            prev_keys = [r[0] for r in base.select(keycol).distinct().collect()]
+            parts = [prev_parts[-1]] if len(prev_parts) == 1 else prev_parts
+            owners = {str(k): 0 for k in prev_keys}
+        idx = len(parts)
+        parts.append(rel)
+        for k in new_keys:
+            owners[str(k)] = idx
+        entry = {"kind": "upsert", "key": keycol, "parts": parts, "owners": owners}
+        if len(parts) > self.MAX_UPSERT_PARTS:
+            # compact: materialize the resolved view as a fresh single base.
+            # Amortized O(state / MAX_UPSERT_PARTS) per round — the delta
+            # commits stay O(round).
+            resolved = self._read_upsert_entry(df.sparkSession, entry)
+            base_rel = f"{name}/v{sid}"
+            resolved.write.mode("overwrite").partitionBy(keycol).parquet(
+                os.path.join(self.root, base_rel)
+            )
+            entry = {
+                "kind": "upsert",
+                "key": keycol,
+                "parts": [base_rel],
+                "owners": {k: 0 for k in owners},
+            }
+        return entry
+
+    def _read_upsert_entry(self, spark: SparkSession, entry: dict) -> DataFrame:
+        """Resolve an upsert entry without a schema string (compaction path)."""
+        keycol = entry["key"]
+        by_part: dict[int, list[int]] = {}
+        for k, i in entry["owners"].items():
+            by_part.setdefault(int(i), []).append(int(k))
+        dfs = []
+        for i, p in enumerate(entry["parts"]):
+            keys = by_part.get(i)
+            if not keys:
+                continue
+            dfs.append(
+                spark.read.parquet(os.path.join(self.root, p)).filter(
+                    F.col(keycol).isin(keys)
+                )
+            )
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out

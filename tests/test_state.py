@@ -117,3 +117,91 @@ def test_rebuild_overfull_blooms(spark):
         "xxhash64(cast(id as string)) as url_hash", "cast(id as string) as url"
     )
     assert seen.probe(cand, all_rows, rebuilt).count() == 0
+
+
+def _bloom_files(root):
+    """{relpath: (size, sha256)} of every parquet data file under blooms/."""
+    import hashlib
+
+    out = {}
+    broot = os.path.join(root, "blooms")
+    for dirpath, _dirs, files in os.walk(broot):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(dirpath, fn)
+            with open(p, "rb") as f:
+                out[os.path.relpath(p, broot)] = hashlib.sha256(f.read()).hexdigest()
+    return out
+
+
+def test_bloom_delta_commit_leaves_untouched_buckets_alone(spark, tmp_path):
+    """A scheduler round must commit bloom blobs ONLY for buckets that
+    received new hashes: every pre-existing blob file stays byte-identical
+    (O(round) commit, not O(total-state)), and the new delta part holds
+    only the touched buckets."""
+    import json
+
+    from simplecommoncrawlextractor_spark.plans import CrawlScheduler
+    from simplecommoncrawlextractor_spark.sources import seed_frontier
+
+    root = str(tmp_path / "delta")
+    store = StateStore(root)
+    sched = CrawlScheduler(spark, store, host_budget=4, salt_k=4, n_buckets=8)
+    sched.bootstrap(seed_frontier(spark, n=120))
+    sched.step()
+    before = _bloom_files(root)
+    assert before, "round 1 must have written bloom blobs"
+    m1 = json.load(open(os.path.join(root, "manifest.json")))
+    entry1 = m1["tables"]["blooms"]
+    assert entry1["kind"] == "upsert"
+
+    sched.step()
+    after = _bloom_files(root)
+    for rel, digest in before.items():
+        assert after.get(rel) == digest, f"pre-existing blob rewritten: {rel}"
+
+    m2 = json.load(open(os.path.join(root, "manifest.json")))
+    entry2 = m2["tables"]["blooms"]
+    assert entry1["parts"] == entry2["parts"][: len(entry1["parts"])]
+    # the round-2 delta part contains only buckets round 2 actually touched
+    delta_rel = entry2["parts"][-1]
+    delta = spark.read.parquet(os.path.join(root, delta_rel))
+    delta_buckets = {r["bucket"] for r in delta.select("bucket").distinct().collect()}
+    owned_by_delta = {
+        int(k) for k, i in entry2["owners"].items() if i == len(entry2["parts"]) - 1
+    }
+    assert delta_buckets == owned_by_delta
+    # resolved view stays exact: probing every seen hash returns nothing new
+    seen_rows = sched.url_seen()
+    blooms = sched.blooms()
+    cand = seen_rows.selectExpr("url_hash", "cast(url_hash as string) as url")
+    assert sched.seen.probe(cand, seen_rows, blooms).count() == 0
+
+
+def test_upsert_compaction_bounds_part_list(spark, tmp_path):
+    """After many upsert commits the part list compacts into one base and
+    the resolved view is unchanged."""
+    root = str(tmp_path / "compact")
+    store = StateStore(root)
+    seen = BloomSeenSet(n_buckets=4)
+    expect = {}
+    for rnd in range(StateStore.MAX_UPSERT_PARTS + 3):
+        rows = seen.bucketize(
+            spark.range(rnd * 50, rnd * 50 + 50).selectExpr(
+                "xxhash64(cast(id as string)) as url_hash"
+            )
+        ).select("bucket", "url_hash")
+        delta = seen.build_blooms(rows)
+        store.commit(tables={}, upserts={"blooms": delta})
+        for r in delta.collect():
+            expect[r["bucket"]] = r["n_items"]
+    import json
+
+    m = json.load(open(os.path.join(root, "manifest.json")))
+    assert len(m["tables"]["blooms"]["parts"]) <= StateStore.MAX_UPSERT_PARTS
+    resolved = store.read(
+        spark, "blooms", "bucket int, bitmap binary, n_bits long, n_hashes int, n_items long"
+    )
+    got = {r["bucket"]: r["n_items"] for r in resolved.collect()}
+    assert got == expect
