@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "f10_downsample_strata",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
+    "ann_lsh_bucketed",
     "text_quality",
     "events_sessionize",
     "frontier_schedule_batch",

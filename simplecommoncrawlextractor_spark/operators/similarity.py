@@ -68,45 +68,93 @@ def cosine_topk(emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str
     )
 
 
-def srp_bucket(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
-    """Sign-random-projection bucket id. Plane p's normal is the
-    deterministic ±1 vector sign(sin(1 + p·dim + j)) over dimensions j —
-    fixed, seedless, identical on any engine/executor."""
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        weights = F.array(
-            *[
-                F.when(F.sin(F.lit(float(1 + p * dim + j))) >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
-                for j in range(dim)
-            ]
-        )
-        proj = _dot(vec_col.cast("array<double>"), weights)
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+def srp_weight(p: int, dim: int, j: int) -> float:
+    """Global plane p's ±1 weight for dimension j: Knuth multiplicative
+    hash of the (plane, dim) index — pure integer arithmetic, so any engine
+    (DuckDB oracle included) reproduces it bit-for-bit. No sin()/RNG."""
+    return 1.0 if ((1 + p * dim + j) * 2654435761) % (1 << 32) < (1 << 31) else -1.0
+
+
+def _srp_planes(spark, dim: int, n_planes: int, n_tables: int) -> DataFrame:
+    """The SRP hyperplane normals as a tiny broadcastable table
+    (tbl, p, w: array<double>) — DATA, not plan literals, so dim=768+
+    doesn't bloat the query plan; one row per (table, plane). Each table's
+    planes draw from a disjoint global plane index, so tables are
+    independent hashes (OR-amplification)."""
+    rows = [
+        (t, p, [srp_weight(t * n_planes + p, dim, j) for j in range(dim)])
+        for t in range(n_tables)
+        for p in range(n_planes)
+    ]
+    return spark.createDataFrame(rows, "tbl int, p int, w array<double>")
+
+
+def srp_bucket_assignments(
+    emb: DataFrame, dim: int, n_planes: int = 4, n_tables: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, tbl, bucket) for every vector × table: broadcast-join the
+    planes table, project (ordered JVM-side fold), sign-bit-pack per
+    (id, tbl). Only the slim (id, tbl, p, sign) rows reach the groupBy
+    shuffle — the vector itself never leaves its scan partition."""
+    planes = _srp_planes(emb.sparkSession, dim, n_planes, n_tables)
+    proj = emb.select(id_col, vec_col).join(F.broadcast(planes)).select(
+        F.col(id_col),
+        F.col("tbl"),
+        F.col("p"),
+        _dot(F.col(vec_col).cast("array<double>"), F.col("w")).alias("s"),
+    )
+    bit = F.when(
+        F.col("s") >= 0, F.expr("shiftleft(cast(1 as bigint), p)")
+    ).otherwise(F.lit(0).cast("long"))
+    return proj.groupBy(id_col, "tbl").agg(F.sum(bit).alias("bucket"))
 
 
 def ann_bucketed_top1(
-    emb: DataFrame, dim: int = 16, n_planes: int = 6,
+    emb: DataFrame, dim: int = 16, n_planes: int = 4, n_tables: int = 8,
+    max_bucket: int | None = 512,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate NN: SRP-bucket vectors, brute-force only within buckets.
-    Recall < 1 by design; the plan shape is the point — the crossJoin
-    becomes an equi-join on bucket, shuffle-partitioned, linear in
-    Σ bucket²."""
-    d = emb.select(
-        F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), dim, n_planes).alias("bucket")
+    """Approximate NN via multi-table SRP LSH: ``n_tables`` independent
+    sign-random-projection hashes of ``n_planes`` bits each; candidate
+    pairs form inside any table's bucket (OR-amplification — recall
+    1-(1-p^k)^L instead of p^k), are deduped slim (ids only), and only
+    then pay the cosine. The crossJoin becomes equi-joins on (tbl,
+    bucket), shuffle-partitioned, linear in Σ bucket² per table.
+
+    ``max_bucket`` caps degenerate buckets per table (a constant-vector
+    pile would go quadratic): over-full buckets are skipped entirely —
+    deterministic, oracle-mirrorable; a pair sharing a smaller bucket in
+    another table still surfaces. At production scale set max_bucket as a
+    multiple of the expected bucket size N / 2^n_planes."""
+    buck = srp_bucket_assignments(emb, dim, n_planes, n_tables, id_col, vec_col)
+    if max_bucket is not None:
+        sizes = buck.groupBy("tbl", "bucket").agg(F.count("*").alias("__n"))
+        keep = sizes.filter(F.col("__n") <= max_bucket).select("tbl", "bucket")
+        # ≤ n_tables × 2^n_planes rows — always broadcastable
+        buck = buck.join(F.broadcast(keep), ["tbl", "bucket"], "left_semi")
+    a = buck.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
+    b = buck.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
+    # candidates stay slim (ids only) through the bucket join AND the
+    # cross-table dedup; vectors join back once per side afterwards
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    a = d.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-    b = d.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
-    pairs = a.join(b, "bucket").filter(F.col("id_a") != F.col("id_b"))
+    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = cand.join(ea, "id_a").join(eb, "id_b")
     sim = pairs.withColumn(
-        "cos", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+        "cos", _dot(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
+        / (_norm(F.col("va").cast("array<double>")) * _norm(F.col("vb").cast("array<double>")))
     )
     w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
     return (
         sim.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select(F.col("id_a").alias("vec_id"), F.col("id_b").alias("nn_id"), "bucket")
+        .select(F.col("id_a").alias("vec_id"), F.col("id_b").alias("nn_id"))
         .orderBy("vec_id")
     )
 

@@ -1,0 +1,86 @@
+"""ANN: bucketed-vs-brute-force recall report, bucket cap, determinism.
+
+The bucketed SRP path is the scale headline (equi-join on bucket, linear in
+Σ bucket²); brute force survives only as the exactness/recall verifier on
+bounded samples — these tests are that verification.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from simplecommoncrawlextractor_spark.operators.similarity import (
+    ann_bucketed_top1,
+    cosine_top1,
+    srp_bucket_assignments,
+    srp_weight,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_srp_weight_is_pm1_and_balanced():
+    ws = [srp_weight(p, 64, j) for p in range(6) for j in range(64)]
+    assert set(ws) == {1.0, -1.0}
+    # roughly balanced — a degenerate all-ones plane would bucket nothing
+    frac = sum(1 for w in ws if w > 0) / len(ws)
+    assert 0.35 < frac < 0.65, frac
+
+
+def test_bucketed_recall_vs_brute_force(spark, emb):
+    """Recall report: fraction of brute-force top-1 neighbors the bucketed
+    path reproduces exactly, over the vectors the bucketed path covers.
+    SRP with 6 planes on clustered synthetic data should recover a solid
+    majority; the floor pins regressions, the printout is the report."""
+    exact = {r["vec_id"]: r["nn_id"] for r in cosine_top1(emb).collect()}
+    approx = {
+        r["vec_id"]: r["nn_id"]
+        for r in ann_bucketed_top1(
+            emb, dim=64, n_planes=4, n_tables=8, max_bucket=512
+        ).collect()
+    }
+    covered = set(approx) & set(exact)
+    assert covered, "bucketed path returned nothing"
+    hits = sum(1 for v in covered if approx[v] == exact[v])
+    recall = hits / len(covered)
+    coverage = len(approx) / len(exact)
+    print(
+        f"\nANN recall report: top1-recall={recall:.3f} over {len(covered)} "
+        f"covered vectors, coverage={coverage:.3f} of {len(exact)}"
+    )
+    assert recall >= 0.5, f"recall collapsed: {recall:.3f}"
+    assert coverage >= 0.3, f"coverage collapsed: {coverage:.3f}"
+
+
+def test_bucket_cap_skips_degenerate_pile(spark):
+    """1000 identical vectors land in ONE bucket; with max_bucket=64 the
+    pile is skipped (no quadratic blowup), while distinct outliers still
+    resolve. The pair count must stay bounded by cap² + outliers."""
+    base = spark.range(1000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0)] * 8).cast("array<float>").alias("embedding"),
+    )
+    outliers = spark.range(1000, 1004).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[(F.when(F.lit(j) == (F.col("id") % 8).cast("int"), -1.0).otherwise(0.5)) for j in range(8)]
+        ).cast("array<float>").alias("embedding"),
+    )
+    df = base.unionByName(outliers)
+    out = ann_bucketed_top1(df, dim=8, n_planes=4, max_bucket=64)
+    rows = out.collect()
+    pile_ids = {r["vec_id"] for r in rows if r["vec_id"] < 1000}
+    assert not pile_ids, "over-full bucket was not skipped"
+    # uncapped, the pile explodes into ~10^6 within-bucket pairs
+    uncapped = ann_bucketed_top1(df, dim=8, n_planes=4, max_bucket=None)
+    assert uncapped.filter(F.col("vec_id") < 1000).count() == 1000
+
+
+def test_bucket_assignment_deterministic_across_parallelism(spark, emb):
+    one = srp_bucket_assignments(emb.repartition(1), 64, 4, n_tables=4)
+    many = srp_bucket_assignments(emb.repartition(16), 64, 4, n_tables=4)
+    assert one.exceptAll(many).count() == 0 and many.exceptAll(one).count() == 0
