@@ -251,6 +251,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- documents: dedup + text analysis -------------------------------
     q["dedup_exact_groups"] = lambda s, d: D.exact_dedup_groups(_docs(s, d))
     q["dedup_minhash_lsh"] = lambda s, d: D.minhash_lsh_candidates(_docs(s, d))
+    # production-path variant: xxhash64 sigs (8-byte, JVM-cheap) — same
+    # banding plan; rows-only (DuckDB has no xxhash64), pytest-covered
+    q["dedup_minhash_lsh_fast"] = lambda s, d: D.minhash_lsh_candidates(
+        _docs(s, d), hash_mode="xxhash64"
+    )
     q["dedup_ngram_jaccard"] = lambda s, d: D.ngram_jaccard_pairs(_docs(s, d), threshold=0.05)
     q["dedup_simhash"] = lambda s, d: D.simhash_near_dups(_docs(s, d), max_hamming=8)
     q["text_token_hist"] = lambda s, d: T.token_count_hist(_docs(s, d))
@@ -547,6 +552,8 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT {_FP} AS fp, count(*) AS n_docs, min(doc_id) AS rep_id "
         "FROM documents GROUP BY 1 ORDER BY fp"
     )
+    # band buckets above the cap are skipped (minhash_lsh_candidates
+    # max_band_bucket=256) — mirrored here so the gate tests the cap too
     o["dedup_minhash_lsh"] = f"""
 WITH {_SHINGLE_CTE},
 base AS (SELECT doc_id, md5(shingle) AS h0 FROM sh),
@@ -559,17 +566,24 @@ band AS (
   SELECT doc_id, CAST(salt // 2 AS INT) AS band,
          string_agg(sig, ',' ORDER BY sig) AS band_key
   FROM sig GROUP BY 1, 2
-)
+),
+bkeep AS (SELECT band, band_key FROM band GROUP BY 1, 2 HAVING count(*) <= 256),
+bk AS (SELECT band.* FROM band JOIN bkeep USING (band, band_key))
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM band a JOIN band b USING (band, band_key)
+FROM bk a JOIN bk b USING (band, band_key)
 WHERE a.doc_id < b.doc_id ORDER BY 1, 2
 """.strip()
+    # shingles with document frequency above the cap are dropped before the
+    # self-join (ngram_jaccard_pairs max_doc_freq=128); sizes still count
+    # every shingle, so Jaccard is underestimated, never overestimated
     o["dedup_ngram_jaccard"] = f"""
 WITH {_SHINGLE_CTE},
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 128),
+shc AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+  FROM shc a JOIN shc b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 )
 SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b
 FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b

@@ -24,6 +24,34 @@ from pyspark.sql import functions as F
 from ..functions.text import doc_fingerprint
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a narrower-than-cluster scan before text-heavy compute.
+    Tiny/benchmark parquet files arrive as 1-2 input splits, serializing
+    the shingling on one core; at real scale inputs carry enough splits
+    that this is a no-op (the check is metadata-only, no job)."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _pairs_from_ids(ids_col) -> F.Column:
+    """All ordered pairs (id_a < id_b) from a group's id list, generated
+    JVM-side: sort once, pair each element with its successors. Bounded by
+    the caller's group-size cap — this replaces a self-join, so the
+    grouped subtree is evaluated ONCE instead of once per join branch."""
+    s = F.array_sort(ids_col)
+    return F.flatten(
+        F.transform(
+            s,
+            lambda x, i: F.transform(
+                F.slice(s, i + F.lit(2), F.size(s)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact-duplicate groups: one row per distinct normalized-text
     fingerprint with the group size and the representative (min id) —
@@ -41,40 +69,58 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = 
     """Distinct n-token shingles per document (lowercased, whitespace
     tokens). transform over a token array — no Python."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    # docs shorter than n tokens emit NO shingles (a partial shingle would
+    # both diverge from the DuckDB oracle and make 2-token docs
+    # Jaccard-comparable via malformed grams) — gate on token count up
+    # front instead of re-splitting every emitted shingle to check it
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return _spread(docs).select(
+        F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
     )
-    # docs shorter than n tokens must emit NO shingles (a partial shingle
-    # would both diverge from the DuckDB oracle and make 2-token docs
-    # Jaccard-comparable via malformed grams) — keep only full n-grams
-    full = F.filter(
-        F.array_distinct(sh), lambda s: F.size(F.split(s, " ")) == n
-    )
-    return docs.select(F.col(id_col), F.explode(full).alias("shingle"))
 
 
 def minhash_signatures(
-    sh: DataFrame, n_hashes: int = 8, id_col: str = "doc_id"
+    sh: DataFrame, n_hashes: int = 8, id_col: str = "doc_id",
+    hash_mode: str = "md5",
 ) -> DataFrame:
-    """MinHash signature per doc: base = md5(shingle) computed ONCE per
-    shingle, then sig_s = min(md5(s || base)) for salt s in 0..n-1 — the
+    """MinHash signature per doc: base = hash(shingle) computed ONCE per
+    shingle, then sig_s = min(hash(s, base)) for salt s in 0..n-1 — the
     variable-length shingle is hashed a single time and the salt
-    permutations re-hash only the fixed 32-char digest (≈n× cheaper on
-    long shingles, same LSH guarantees: each salt is an independent
-    uniform permutation of shingle space). Portable — DuckDB md5 is
-    byte-identical. Output: (doc_id, salt, sig)."""
-    base = sh.select(F.col(id_col), F.md5("shingle").alias("h0"))
-    # all n salted hashes as COLUMNS of one row (not an n-way explode):
-    # the groupBy then shuffles one partially-min'd row per (doc,partition)
-    # instead of n_hashes × shingles rows — 8× fewer shuffle rows here
-    hashed = base.select(
-        F.col(id_col),
-        *[
-            F.md5(F.concat(F.lit(str(s)), F.col("h0"))).alias(f"h{s}")
-            for s in range(n_hashes)
-        ],
-    )
+    permutations re-hash only the fixed-width digest (≈n× cheaper on long
+    shingles, same LSH guarantees: each salt is an independent uniform
+    permutation of shingle space). Output: (doc_id, salt, sig).
+
+    hash_mode:
+    - 'md5' (string sigs) — portable, DuckDB replays it byte-identical;
+      this is the oracle/gate path.
+    - 'xxhash64' (long sigs) — the production path: JVM xxhash64 is ~an
+      order of magnitude cheaper than md5-hex-over-strings and sigs
+      shuffle as 8 bytes instead of 32-char strings. Same banding plan.
+    """
+    if hash_mode == "xxhash64":
+        base = sh.select(F.col(id_col), F.xxhash64("shingle").alias("h0"))
+        hashed = base.select(
+            F.col(id_col),
+            *[F.xxhash64(F.lit(s), F.col("h0")).alias(f"h{s}") for s in range(n_hashes)],
+        )
+    else:
+        base = sh.select(F.col(id_col), F.md5("shingle").alias("h0"))
+        # all n salted hashes as COLUMNS of one row (not an n-way explode):
+        # the groupBy then shuffles one partially-min'd row per
+        # (doc,partition) instead of n_hashes × shingles rows
+        hashed = base.select(
+            F.col(id_col),
+            *[
+                F.md5(F.concat(F.lit(str(s)), F.col("h0"))).alias(f"h{s}")
+                for s in range(n_hashes)
+            ],
+        )
     mins = hashed.groupBy(id_col).agg(
         *[F.min(f"h{s}").alias(f"m{s}") for s in range(n_hashes)]
     )
@@ -96,25 +142,46 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_band_bucket: int | None = 256,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """LSH candidate pairs: band the signature (rows_per_band = n/bands),
     concat each band's sigs into one key, equi-join docs sharing a
-    (band_id, band_key). Returns distinct (id_a, id_b) with id_a < id_b."""
+    (band_id, band_key). Returns distinct (id_a, id_b) with id_a < id_b.
+
+    ``max_band_bucket`` bounds the self-join: a degenerate band_key (empty
+    or boilerplate docs sharing a signature) would otherwise make one
+    bucket quadratic — 10^6 docs sharing a key is 10^12 pairs from a
+    single bucket at web scale. Buckets above the cap are skipped whole
+    (deterministic, oracle-mirrorable); a true near-dup pair in a skipped
+    bucket usually still collides in another band's smaller bucket, and a
+    >max_band_bucket-sized identical pile belongs to exact dedup anyway.
+    Use dedup_skew_report to see what a cap would drop."""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(
-        shingles(docs, shingle_n, text_col, id_col), n_hashes, id_col
+        shingles(docs, shingle_n, text_col, id_col), n_hashes, id_col, hash_mode
     )
+    # md5 sigs are strings; xxhash64 sigs are longs — sort natively, then
+    # stringify for the concat key (band_key equality is all that matters)
+    key_parts = F.array_sort(F.collect_list("sig"))
+    if hash_mode == "xxhash64":
+        key_parts = F.transform(key_parts, lambda x: x.cast("string"))
     banded = (
         sig.withColumn("band", (F.col("salt") / rows_per_band).cast("int"))
         .groupBy(id_col, "band")
-        .agg(F.concat_ws(",", F.array_sort(F.collect_list("sig"))).alias("band_key"))
+        .agg(F.concat_ws(",", key_parts).alias("band_key"))
     )
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    grp = banded.groupBy("band", "band_key").agg(
+        F.collect_list(id_col).alias("ids")
+    )
+    if max_band_bucket is not None:
+        grp = grp.filter(F.size("ids") <= max_band_bucket)
+    # pairs generated from the grouped list — evaluates the shingle→md5→
+    # band pipeline ONCE (a self-join's two branches would run it twice)
     return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grp.filter(F.size("ids") >= 2)
+        .select(F.explode(_pairs_from_ids(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
         .orderBy("id_a", "id_b")
     )
@@ -126,19 +193,34 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_freq: int | None = 128,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs: self-join on shingle → |A∩B| per pair,
     |A|,|B| from per-doc shingle counts, keep J = inter/(|A|+|B|-inter) ≥ t.
-    The join key is the shingle value (uniform), intersection counts
-    aggregate map-side — no pairwise N² stage."""
+    The join key is the shingle value, intersection counts aggregate
+    map-side — no pairwise N² stage.
+
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    documents BEFORE the self-join (standard in dedup pipelines): one
+    boilerplate trigram shared by 10^6 web pages is 5·10^11 pairs from a
+    single key. High-DF shingles carry almost no Jaccard signal for the
+    near-dup regime (they inflate both intersection and union), so the cap
+    trades a bounded similarity underestimate for a bounded join. Doc
+    sizes keep counting ALL shingles — J is underestimated, never
+    overestimated, so the threshold stays a lower-bound guarantee."""
     sh = shingles(docs, shingle_n, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # group ids per shingle ONCE; the frequency cap is a size filter on the
+    # grouped list and pair generation happens in-group — one evaluation of
+    # the shingle pipeline feeds both the cap and the pairs (a semi-join +
+    # self-join would traverse it three times)
+    grp = sh.groupBy("shingle").agg(F.collect_list(id_col).alias("ids"))
+    if max_doc_freq is not None:
+        grp = grp.filter(F.size("ids") <= max_doc_freq)
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        grp.filter(F.size("ids") >= 2)
+        .select(F.explode(_pairs_from_ids(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
@@ -153,6 +235,30 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return j.select("id_a", "id_b", "inter", "sz_a", "sz_b").orderBy("id_a", "id_b")
+
+
+def dedup_skew_report(
+    docs: DataFrame,
+    shingle_n: int = 3,
+    max_doc_freq: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """What the frequency caps drop: one row per over-cap shingle with its
+    document frequency and the pair mass it would have injected into the
+    self-join (df·(df−1)/2). Run this alongside capped dedup so truncation
+    is always visible, never silent."""
+    df = shingles(docs, shingle_n, text_col, id_col).groupBy("shingle").agg(
+        F.count("*").alias("doc_freq")
+    )
+    return (
+        df.filter(F.col("doc_freq") > max_doc_freq)
+        .withColumn(
+            "pairs_avoided",
+            (F.col("doc_freq") * (F.col("doc_freq") - 1) / 2).cast("long"),
+        )
+        .orderBy(F.desc("doc_freq"), "shingle")
+    )
 
 
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -135,26 +135,44 @@ def ann_bucketed_top1(
         buck = buck.join(F.broadcast(keep), ["tbl", "bucket"], "left_semi")
     a = buck.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
     b = buck.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
-    # candidates stay slim (ids only) through the bucket join AND the
-    # cross-table dedup; vectors join back once per side afterwards
+    # candidates stay slim (ids only) through the bucket self-join (NOT the
+    # in-group pair-list trick dedup uses: ANN buckets are few and large,
+    # so per-group pair materialization would skew one task per bucket —
+    # the join spreads pair generation across shuffle partitions) and the
+    # cross-table dedup, UNORDERED (id_a < id_b) — each pair pays the
+    # cosine once and is mirrored afterwards; vectors join back once per
+    # side, with per-vector norms precomputed (not re-folded per pair)
     cand = (
         a.join(b, ["tbl", "bucket"])
-        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = cand.join(ea, "id_a").join(eb, "id_b")
-    sim = pairs.withColumn(
-        "cos", _dot(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
-        / (_norm(F.col("va").cast("array<double>")) * _norm(F.col("vb").cast("array<double>")))
+    normed = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).select(id_col, "__v", _norm(F.col("__v")).alias("__n"))
+    ea = normed.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na"))
+    eb = normed.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb"))
+    scored = (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
     )
-    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    directed = scored.unionByName(
+        scored.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "cos"
+        )
+    )
+    # top-1 as min_by aggregation (map-side partial combine), not a window
+    # sort: the ordering (cos desc, id asc) becomes the lexicographic key
     return (
-        sim.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("id_a").alias("vec_id"), F.col("id_b").alias("nn_id"))
+        directed.groupBy("id_a")
+        .agg(F.min_by(F.col("id_b"), F.struct((-F.col("cos")).alias("nc"), F.col("id_b").alias("i"))).alias("nn_id"))
+        .select(F.col("id_a").alias("vec_id"), "nn_id")
         .orderBy("vec_id")
     )
 

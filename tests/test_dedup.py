@@ -1,0 +1,109 @@
+"""Dedup family: frequency-cap behavior under adversarial skew, xxhash64
+production path vs the md5 oracle path, and cap-vs-recall sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simplecommoncrawlextractor_spark.operators.dedup import (
+    dedup_skew_report,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+)
+
+
+def _corpus(spark):
+    """1000 docs that all share ONE hot shingle ('common boiler plate')
+    plus a unique tail each; docs 0 and 1 are true near-dups (identical
+    long tails); doc 2/3 a second near-dup pair."""
+    base = spark.range(1000).select(
+        F.concat(F.lit("d"), F.format_string("%04d", F.col("id"))).alias("doc_id"),
+        F.concat(
+            F.lit("common boiler plate "),
+            F.when(F.col("id") < 2, F.lit("alpha beta gamma delta epsilon zeta eta theta"))
+            .when(F.col("id") < 4, F.lit("one two three four five six seven eight"))
+            .otherwise(
+                F.concat(
+                    F.lit("unique"), F.col("id").cast("string"),
+                    F.lit(" tail"), F.col("id").cast("string"),
+                    F.lit(" word"), (F.col("id") * 7).cast("string"),
+                )
+            ),
+        ).alias("text"),
+    )
+    return base
+
+
+def test_jaccard_df_cap_bounds_adversarial_shingle(spark):
+    docs = _corpus(spark).cache()
+    # the hot shingle alone would inject ~500k pairs; capped, the pair set
+    # stays near the true near-dups
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3, max_doc_freq=50)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert ("d0000", "d0001") in got
+    assert ("d0002", "d0003") in got
+    assert len(got) < 50, f"cap failed to bound pair blowup: {len(got)} pairs"
+    # the report names the hot shingles and their avoided pair mass
+    rep = dedup_skew_report(docs, max_doc_freq=50).collect()
+    assert any(r["doc_freq"] == 1000 for r in rep)
+    assert all(r["pairs_avoided"] == r["doc_freq"] * (r["doc_freq"] - 1) // 2 for r in rep)
+
+
+def test_jaccard_never_overestimates_under_cap(spark):
+    """Capped J ≤ uncapped J for every pair (sizes count all shingles)."""
+    docs = _corpus(spark).filter(F.col("doc_id") < "d0050").cache()
+    capped = {
+        (r["id_a"], r["id_b"]): r["inter"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0, max_doc_freq=10).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["inter"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0, max_doc_freq=None).collect()
+    }
+    assert set(capped) <= set(full)
+    for k, inter in capped.items():
+        assert inter <= full[k]
+
+
+def test_minhash_band_cap_skips_identical_pile(spark):
+    """500 byte-identical docs share every band signature → one bucket of
+    500 per band; with the cap they produce NO lsh candidate pairs (exact
+    dedup owns identical piles), while a distinct near-dup pair in normal
+    buckets is still found."""
+    pile = spark.range(500).select(
+        F.concat(F.lit("p"), F.format_string("%03d", F.col("id"))).alias("doc_id"),
+        F.lit("spam spam spam wonderful spam lovely spam baked beans spam").alias("text"),
+    )
+    pair = spark.createDataFrame(
+        [
+            ("x1", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            ("x2", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+        "doc_id string, text string",
+    )
+    docs = pile.unionByName(pair)
+    got = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs, max_band_bucket=64).collect()}
+    assert got == {("x1", "x2")}
+    uncapped = minhash_lsh_candidates(
+        docs.filter(F.col("doc_id") < "p100").unionByName(pair),
+        max_band_bucket=None,
+    ).count()
+    assert uncapped == 100 * 99 // 2 + 1  # the quadratic blowup the cap avoids
+
+
+def test_xxhash_mode_matches_md5_on_true_dups(spark):
+    """Different hash → different random permutations, but docs with
+    IDENTICAL shingle sets have identical signatures under ANY hash: both
+    modes must emit every true-duplicate pair."""
+    docs = _corpus(spark).filter(F.col("doc_id") < "d0100").cache()
+    md5_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, hash_mode="md5").collect()
+    }
+    xx_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, hash_mode="xxhash64").collect()
+    }
+    for must in [("d0000", "d0001"), ("d0002", "d0003")]:
+        assert must in md5_pairs
+        assert must in xx_pairs
