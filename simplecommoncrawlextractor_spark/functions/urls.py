@@ -35,6 +35,64 @@ _URL_RE = re.compile(
 
 _DEFAULT_PORTS = {"http": ":80", "https": ":443"}
 
+# RFC 3986 §2.3 unreserved characters; §6.2.2.2 says percent-encodings of
+# these MUST be decoded for comparison; §6.2.2.1 uppercases the hex of the
+# escapes that remain. Without this, '%7Euser' and '~user' (or '%2e'
+# sneaking a dot segment past resolution) become duplicate frontier entries
+# and the crawler fetches the same resource twice.
+_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+# a path segment that is exactly '.' or '..'
+_DOTSEG_RE = re.compile(r"/\.{1,2}(?:/|$)")
+
+
+def _pct_decode_unreserved(s: str) -> str:
+    """Decode %XX escapes of unreserved chars; uppercase the hex of the
+    rest (RFC 3986 §6.2.2.1-2)."""
+
+    def sub(m: re.Match) -> str:
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(sub, s)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 for an absolute path: '.' segments vanish, '..'
+    pops (never above root), both leave a trailing slash when final."""
+    out: list[str] = []
+    trailing = False
+    for seg in path.lstrip("/").split("/"):
+        if seg == ".":
+            trailing = True
+        elif seg == "..":
+            if out:
+                out.pop()
+            trailing = True
+        else:
+            out.append(seg)
+            trailing = False
+    res = "/" + "/".join(out)
+    if trailing and not res.endswith("/"):
+        res += "/"
+    return res
+
+
+def _canon_path(path: str) -> str:
+    """Shared path normalization: collapse duplicate slashes, decode
+    unreserved escapes (which may surface new dot segments — decode runs
+    first), resolve dot segments. %2F stays encoded (not unreserved), so
+    decoding can't create new slashes."""
+    while "//" in path:
+        path = path.replace("//", "/")
+    if "%" in path:
+        path = _pct_decode_unreserved(path)
+    if _DOTSEG_RE.search(path):
+        path = _remove_dot_segments(path)
+    return path
+
 # Reference length cap: url_mappings.json:98-105 drops URLs matching ``.{3000}``.
 MAX_URL_LEN = 3000
 
@@ -74,10 +132,7 @@ def _canon_one(u: str) -> str | None:
         return None
     if port is not None and f":{port}" != _DEFAULT_PORTS.get(scheme):
         netloc = f"{host}:{port}"
-    path = parts.path or "/"
-    # collapse duplicate slashes, resolve dot-segments cheaply
-    while "//" in path:
-        path = path.replace("//", "/")
+    path = _canon_path(parts.path or "/")
     query = ""
     if parts.query:
         query = urlencode(sorted(parse_qsl(parts.query, keep_blank_values=True)))
@@ -139,8 +194,11 @@ def canonicalize_url(url: pd.Series) -> pd.Series:
     3. leftovers (userinfo, IPv6 brackets, exotic syntax): urlsplit row-wise.
     """
     s = url.astype("string")
+    # tier 1 must reject dot segments (the path char class admits '.', so
+    # '/a/../b' would otherwise pass through unresolved); '%' is excluded
+    # by the char class itself
     simple = s.str.match(
-        r"^https?://[a-z0-9\-]+(\.[a-z0-9\-]+)+/(?:[a-z0-9._~\-]+/)*[a-z0-9._~\-]*$",
+        r"^(?!.*/\.{1,2}(?:/|$))https?://[a-z0-9\-]+(\.[a-z0-9\-]+)+/(?:[a-z0-9._~\-]+/)*[a-z0-9._~\-]*$",
         na=False,
     )
     rest = s[~simple]
@@ -161,6 +219,15 @@ def canonicalize_url(url: pd.Series) -> pd.Series:
     port_canon = pnum.map(lambda v: "" if pd.isna(v) else str(int(v)))
     netloc = host.where(port.isna() | default_port, host + ":" + port_canon)
     path = parts["path"].fillna("/").str.replace(r"/{2,}", "/", regex=True)
+    # RFC 3986 finish — only the minority of rows with escapes/dot
+    # segments pay the per-row python; decode runs first (a decoded %2E
+    # can surface a new dot segment)
+    pct = path.str.contains("%", regex=False, na=False)
+    if pct.any():
+        path = path.where(~pct, path[pct].map(_pct_decode_unreserved))
+    dots = path.str.contains(_DOTSEG_RE, na=False)
+    if dots.any():
+        path = path.where(~dots, path[dots].map(_remove_dot_segments))
     q = parts["query"]
     has_q = q.notna() & (q != "")
     sorted_q = _sort_query_series(q[has_q]) if has_q.any() else q[has_q]

@@ -25,7 +25,14 @@ def _gen_cases(n=400, seed=7):
             for _ in range(rng.randint(1, 4))
         )
         frag = "#f" if rng.random() < 0.3 else ""
-        path = rng.choice(["/p/x", "//dbl//slash", "/UP/Case", "", "/"])
+        path = rng.choice(
+            ["/p/x", "//dbl//slash", "/UP/Case", "", "/",
+             # RFC 3986 classes: unreserved escapes, kept escapes,
+             # dot segments (plain and %2E-smuggled), root-escaping '..'
+             "/%7Euser/x", "/a%2Fb", "/%41/%6a", "/a/./b", "/a/../b",
+             "/a/b/..", "/./", "/../..", "/a/%2e%2e/b", "/a/%2E/b",
+             "/dots.../ok", "/a./b.", "/%3a%3A"]
+        )
         out.append(f"{rng.choice(schemes)}://{rng.choice(hosts)}{path}?{qs}{frag}")
     out += [
         "https://e.com/p?a",          # valueless key -> slow path

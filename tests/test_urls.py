@@ -47,6 +47,17 @@ def test_canonicalize_url(spark):
         "https://ex.com//a///b": "https://ex.com/a/b",              # slash collapse
         "ftp://ex.com/a": None,                                     # non-http dropped
         "nonsense": None,
+        # RFC 3986 §6.2.2.2: percent-decode unreserved; §6.2.2.1 uppercase
+        # the escapes that stay encoded
+        "https://ex.com/%7Euser/%41x": "https://ex.com/~user/Ax",
+        "https://ex.com/a%2fb%3a": "https://ex.com/a%2Fb%3A",
+        # §5.2.4 dot-segment resolution (incl. a %2E-smuggled one)
+        "https://ex.com/a/./b": "https://ex.com/a/b",
+        "https://ex.com/a/../b": "https://ex.com/b",
+        "https://ex.com/a/b/..": "https://ex.com/a/",
+        "https://ex.com/a/b/.": "https://ex.com/a/b/",
+        "https://ex.com/../../x": "https://ex.com/x",
+        "https://ex.com/a/%2E%2E/b": "https://ex.com/b",
     }
     df = spark.createDataFrame([(k,) for k in cases], "v string")
     got = [r[0] for r in df.select(canonicalize_url("v")).collect()]
