@@ -89,22 +89,20 @@ def doc_fingerprint(c: Column | str) -> Column:
 def rolling_fingerprint(text: pd.Series) -> pd.Series:
     """64-bit Karp-Rabin rolling-hash fingerprint: XOR of polynomial hashes
     of all 8-token windows — robust to token reordering outside windows.
-    Arrow-batched; numpy-free simple loop per doc over pre-split tokens."""
-    B, MASK, W = 1000003, (1 << 63) - 1, 8
 
-    def one(t):
-        if not isinstance(t, str) or not t:
-            return 0
-        toks = t.lower().split()
-        if len(toks) < W:
-            toks = toks + [""] * (W - len(toks))
-        out = 0
-        for i in range(len(toks) - W + 1):
-            h = 0
-            for tok in toks[i : i + W]:
-                h = (h * B + hash_str(tok)) & MASK
-            out ^= h
-        return out
+    Vectorized: each distinct token is FNV-hashed ONCE per Arrow batch
+    (memoized), window hashes are a sliding-window × powers-of-B dot
+    product in uint64. Natural uint64 wraparound is congruent mod 2^63 to
+    the reference per-step (h*B + t) & MASK loop — masking between steps
+    only perturbs bits ≥ 63, and the final & MASK projects both to the
+    same value — so outputs are bit-identical to the scalar definition
+    (pinned by goldens in tests/test_textstats.py)."""
+    import numpy as np
+
+    B, MASK, W = 1000003, (1 << 63) - 1, 8
+    powers = np.array(
+        [pow(B, W - 1 - k, 1 << 64) for k in range(W)], dtype=np.uint64
+    )
 
     def hash_str(s: str) -> int:
         h = 1469598103934665603
@@ -112,4 +110,49 @@ def rolling_fingerprint(text: pd.Series) -> pd.Series:
             h = ((h ^ ch) * 1099511628211) & ((1 << 64) - 1)
         return h & ((1 << 62) - 1)
 
-    return text.map(one).astype("int64")
+    # whole-batch vectorization: tokenize with pandas, factorize ALL batch
+    # tokens at once (each distinct token FNV-hashed exactly once), build
+    # one concatenated uint64 hash array with short docs padded to W, run a
+    # single strided sliding-window × powers pass over it, and XOR-reduce
+    # per doc with reduceat. Per-doc python is gone entirely.
+    s = text.fillna("")
+    tok_lists = s.str.lower().str.split()
+    lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+    pad_lens = np.maximum(lens, W)
+    pad_lens[lens == 0] = 0  # empty/null docs emit nothing
+    flat: list[str] = []
+    for toks, ln, pln in zip(tok_lists, lens, pad_lens):
+        if pln == 0:
+            continue
+        flat.extend(toks)
+        if pln > ln:
+            flat.extend([""] * (pln - ln))
+    if not flat:
+        return pd.Series(np.zeros(len(s), dtype=np.int64), index=s.index)
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    uniq_h = np.fromiter(
+        (hash_str(u) for u in uniques), dtype=np.uint64, count=len(uniques)
+    )
+    th = uniq_h[codes]
+    # all window polynomial sums in one shot (wraparound uint64 ≡ mod 2^63
+    # after the final mask): W shifted contiguous multiply-adds — NOT a
+    # sliding_window_view reduce, whose non-contiguous uint64 sum falls off
+    # numpy's fast path (~100× slower)
+    m = len(th) - W + 1
+    allh = np.zeros(m, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(W):
+            allh += powers[k] * th[k : k + m]
+    # windows crossing doc boundaries are discarded via per-doc offsets
+    starts = np.concatenate(([0], np.cumsum(pad_lens)[:-1]))
+    n_wins = np.where(pad_lens > 0, pad_lens - W + 1, 0)
+    out = np.zeros(len(s), dtype=np.uint64)
+    nz = np.nonzero(n_wins > 0)[0]
+    # per-doc XOR over its window slice (windows are indexed by start
+    # position, so doc i's valid windows are allh[starts[i] : starts[i] +
+    # n_wins[i]] — the W-1 cross-boundary windows after them are skipped);
+    # one C-level reduce per doc, negligible next to the strided pass
+    for i in nz:
+        st = starts[i]
+        out[i] = np.bitwise_xor.reduce(allh[st : st + n_wins[i]])
+    return pd.Series((out & np.uint64(MASK)).astype(np.int64), index=s.index)
