@@ -229,6 +229,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["f13_capture_replace"] = f13_capture
 
+    def s9_wiki_external_links(s, d):
+        """S9 end-to-end (ExternalLinkExtractor.java:50-183): cdx URLs are
+        encoded into multi-tuple mysqldump INSERT lines — a decoy quoted
+        column carrying escaped quotes/commas/parens, the el_to column
+        carrying backslash escapes, 1-in-7 rows made protocol-relative —
+        then lexed back, cleaned through a mapper-chain config
+        (URLUtil.clean), and emitted as (host, url). The oracle computes
+        the expected fixpoint directly from cdx, so any lexer
+        misalignment or escape bug hash-mismatches."""
+        from simplecommoncrawlextractor_spark.functions.mappers import (
+            load_field_mapper_config,
+        )
+        from simplecommoncrawlextractor_spark.sources.wikidump import (
+            wiki_external_links,
+        )
+
+        cdx = cdx_view(s, d)
+        el_url = F.when(
+            F.col("rec_id") % 7 == 0,
+            F.regexp_replace(F.col("url"), "^https?:", ""),
+        ).otherwise(F.col("url"))
+        # mysqldump-style escape exercise: '/p/' inside the URL cell is
+        # stored as '\/p\/' (backslash + char round-trips to the char)
+        esc_url = F.regexp_replace(el_url, "/p/", r"\\/p\\/")
+        tup = F.concat(
+            F.lit("("),
+            F.col("rec_id").cast("string"),
+            F.lit(",0,'it\\'s a (test), really','"),
+            esc_url,
+            F.lit("','idx')"),
+        )
+        lines = (
+            cdx.select(
+                (F.col("rec_id") % 37).alias("g"),
+                F.struct(F.col("rec_id"), tup.alias("t")).alias("st"),
+            )
+            .groupBy("g")
+            .agg(F.array_sort(F.collect_list("st")).alias("a"))
+            .select(
+                F.concat(
+                    F.lit("INSERT INTO `externallinks` VALUES "),
+                    F.concat_ws(",", F.transform("a", lambda x: x["t"])),
+                    F.lit(";"),
+                ).alias("value")
+            )
+        )
+        rules = load_field_mapper_config(
+            {
+                "field_mapper": {
+                    "ignore_case": "true",
+                    "mappings": [
+                        {"f": "input_url", "t": "cleaned_url",
+                         "filter": {"find": r"\.example\.404"}},
+                        {"f": "input_url", "t": "cleaned_url",
+                         "filter": {"find": ".{3000}"}},
+                    ],
+                }
+            }
+        )["input_url"]
+        return wiki_external_links(lines, mapper_rules=rules).orderBy("host", "url")
+
+    q["s9_wiki_external_links"] = s9_wiki_external_links
+
     def f14_identity(s, d):
         from simplecommoncrawlextractor_spark.functions.mappers import (
             identity_field_mapper,
@@ -540,6 +603,15 @@ def oracle_sql() -> dict[str, str]:
         "'ext:' || regexp_extract(url, '\\.(html|pdf)$', 1) ELSE url END AS ext_or_url "
         "FROM cdx"
     )
+    o["s9_wiki_external_links"] = oracle_cte(
+        "SELECT regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]+)', 1) AS host, url "
+        "FROM (SELECT CASE WHEN rec_id % 7 = 0 THEN 'http:' || regexp_replace(url, '^https?:', '') "
+        "ELSE url END AS url FROM cdx) "
+        "WHERE NOT regexp_matches(url, '\\.example\\.404') "
+        "AND length(url) < 3000 "  # RE2 caps {3000}; find('.{3000}') == len >= 3000
+        "ORDER BY host, url"
+    )
+
     o["f14_identity_norm"] = (
         "SELECT doc_id, regexp_replace(trim('  ' || regexp_replace(text, ' the ', "
         "chr(10) || ' ' || chr(10) || chr(10), 'g') || chr(9), "

@@ -73,3 +73,76 @@ def filter_field_mapper(c: Column | str, find: str) -> Column:
     """Parity: FilterFieldMapper (:50-56) — regex FIND blanks the value."""
     c = F.col(c) if isinstance(c, str) else c
     return F.when(c.rlike(find), F.lit(None).cast("string")).otherwise(c)
+
+
+# --- JSON config loader (schema/FieldMapper.java:37-120) ---------------------
+
+def load_field_mapper_config(config: dict) -> dict[str, list[dict]]:
+    """Parse the reference's ``url_mappings.json`` shape into per-field
+    ordered rule lists (FieldMapper.load parity: a mapping with a
+    ``capture`` object builds a capture mapper, else ``filter`` builds a
+    filter mapper, else identity; rules apply in file order under the
+    field named by ``f``). fail_policy strings map as the reference does:
+    'skip'→SKIP_FIELD, 'store_as_is'→STORE_AS_IS."""
+    root = config.get("field_mapper", config)
+    fields: dict[str, list[dict]] = {}
+    for m in root.get("mappings", []):
+        frm = m["f"]
+        if "capture" in m:
+            cap = m["capture"]
+            policy = cap.get("fail_policy", "skip").lower()
+            rule = {
+                "kind": "capture",
+                "find": cap["find"],
+                "replace": cap["replace"],
+                "fail_policy": "STORE_AS_IS" if policy == "store_as_is" else "SKIP_FIELD",
+            }
+        elif "filter" in m:
+            rule = {"kind": "filter", "find": m["filter"]["find"]}
+        else:
+            rule = {"kind": "identity"}
+        fields.setdefault(frm, []).append(rule)
+    return fields
+
+
+def load_field_mapper_json(path: str) -> dict[str, list[dict]]:
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        return load_field_mapper_config(json.load(f))
+
+
+def apply_mapper_chain(c: Column | str, rules: list[dict]) -> Column:
+    """Apply an ordered rule list (from load_field_mapper_config) to a
+    column — the relational ChainedFieldMapper. A filter rule that fires
+    nulls the value; later rules keep it null (the reference's mapper
+    array collapses to empty)."""
+    c = F.col(c) if isinstance(c, str) else c
+    for r in rules:
+        if r["kind"] == "filter":
+            c = filter_field_mapper(c, r["find"])
+        elif r["kind"] == "capture":
+            c = F.when(
+                c.isNull(), F.lit(None).cast("string")
+            ).otherwise(capture_field_mapper(c, r["find"], r["replace"], r["fail_policy"]))
+        else:
+            c = identity_field_mapper(c)
+    return c
+
+
+# Java's `new URI(s)` syntax gate, approximated: no whitespace or the RFC
+# 3986-excluded delimiters, and every % begins a two-hex-digit escape
+# (URLUtil.java:42-47 returns "" on URISyntaxException).
+_URI_VALID_RE = r'^(?:%[0-9A-Fa-f]{2}|[^%\s<>"{}|\\^`])+$'
+
+
+def uri_valid(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return c.isNotNull() & c.rlike(_URI_VALID_RE)
+
+
+def url_util_clean(c: Column | str, rules: list[dict]) -> Column:
+    """URLUtil.clean (URLUtil.java:35-49): apply the ``input_url`` mapper
+    chain, then blank anything that fails the URI syntax gate."""
+    c = apply_mapper_chain(c, rules)
+    return F.when(uri_valid(c), c).otherwise(F.lit(None).cast("string"))
