@@ -55,6 +55,12 @@ def _sniff_one(b: bytes | None) -> str | None:
                     return "image/webp"
                 return "audio/x-wav"
             return mime
+    # two-byte magics validated structurally (too short to trust alone):
+    # BMP requires a full file header, PPM requires whitespace after 'P6'
+    if b[:2] == b"BM" and len(b) >= 54:
+        return "image/bmp"
+    if b[:2] == b"P6" and len(b) > 2 and b[2:3].isspace():
+        return "image/x-portable-pixmap"
     # printable-ish heuristic for text (Tika's fallback territory)
     sample = b[:256]
     printable = sum(32 <= c < 127 or c in (9, 10, 13) for c in sample)

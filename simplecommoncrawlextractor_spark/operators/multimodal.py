@@ -2,8 +2,11 @@
 columns with typed metadata.
 
 The Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas
-signatures, partitioning) is real and tested; the actual codec work is
-STUBBED with a deterministic fake (this container ships no image/audio
+signatures, partitioning) is real and tested. Decoding is REAL for the
+two formats that need no external library — uncompressed BMP
+(BITMAPINFOHEADER, 24/32bpp BI_RGB) and binary PPM (P6) — parsed by hand
+in ``_decode_bmp``/``_decode_ppm``; compressed formats (PNG/JPEG/...)
+remain STUBBED with a deterministic fake (this container ships no image
 libraries) behind ``_decode_image_stub`` — swap in PIL/libav by replacing
 that one function. Batch shape: mapInPandas receives an iterator of Arrow
 batches; we yield one output frame per input frame to keep memory bounded
@@ -13,6 +16,7 @@ single partition can hold GBs of media bytes.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -31,15 +35,110 @@ FRAME_SAMPLE_SCHEMA = "media_ref string, frame_idx int, frame bytes".replace(
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """DETERMINISTIC FAKE decoder (no PIL in this container): derives a
-    (width, height, 8-dim feature) from the payload bytes. Replace with a
-    real decode (PIL.Image.open + thumbnail + embedding) in production —
-    the surrounding Spark plumbing does not change."""
+    """DETERMINISTIC FAKE decoder for compressed formats (no PIL in this
+    container): derives a (width, height, 8-dim feature) from the payload
+    bytes. Replace with a real decode (PIL.Image.open + thumbnail +
+    embedding) in production — the surrounding Spark plumbing does not
+    change."""
     h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8).astype(np.float32)
     width = int(64 + (h[:8].sum() % 1984))
     height = int(64 + (h[8:16].sum() % 1984))
     feat = (h.reshape(8, 8).mean(axis=1) / 255.0).astype(np.float32)
     return width, height, feat
+
+
+def _pixel_features(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """8-dim feature from an (n, 3) RGB pixel array: per-channel means,
+    gray std/min/max, aspect, bias — all float32-deterministic."""
+    f = px.astype(np.float32) / 255.0
+    gray = f.mean(axis=1)
+    return np.array(
+        [
+            float(f[:, 0].mean()), float(f[:, 1].mean()), float(f[:, 2].mean()),
+            float(gray.std()), float(gray.min()), float(gray.max()),
+            width / float(width + height), 1.0,
+        ],
+        dtype=np.float32,
+    )
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """REAL decode of an uncompressed BI_RGB BMP (BITMAPINFOHEADER+,
+    24/32bpp, bottom-up or top-down). Returns None when the payload isn't
+    one — the caller falls back to the stub."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    try:
+        pix_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size = struct.unpack_from("<I", payload, 14)[0]
+        if hdr_size < 40:
+            return None  # BITMAPCOREHEADER not supported
+        width, height = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+    except struct.error:
+        return None
+    if compression != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
+        return None
+    top_down = height < 0
+    height = abs(height)
+    stride = ((width * bpp // 8) + 3) & ~3
+    need = pix_off + stride * height
+    if planes != 1 or need > len(payload) or width * height > 1 << 24:
+        return None
+    rows = []
+    step = bpp // 8
+    for r in range(height):
+        row_idx = r if top_down else height - 1 - r
+        off = pix_off + row_idx * stride
+        row = np.frombuffer(payload, dtype=np.uint8, count=width * step, offset=off)
+        # BMP stores BGR(A); emit RGB
+        rows.append(row.reshape(width, step)[:, 2::-1])
+    px = np.concatenate(rows)
+    return width, height, _pixel_features(px, width, height)
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """REAL decode of a binary PPM (P6, maxval ≤ 255, '#' comments)."""
+    if payload[:2] != b"P6":
+        return None
+    i, fields = 2, []
+    n = len(payload)
+    while len(fields) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < n and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and payload[j : j + 1].isdigit():
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+        else:
+            return None
+    if len(fields) < 3 or i >= n or not payload[i : i + 1].isspace():
+        return None
+    i += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if width <= 0 or height <= 0 or not 0 < maxval <= 255 or width * height > 1 << 24:
+        return None
+    need = width * height * 3
+    if n - i < need:
+        return None
+    px = np.frombuffer(payload, dtype=np.uint8, count=need, offset=i).reshape(-1, 3)
+    return width, height, _pixel_features(px, width, height)
+
+
+def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Dispatch: real BMP/PPM decode when the bytes are one; deterministic
+    stub otherwise (compressed formats, garbage, truncation)."""
+    out = _decode_bmp(payload)
+    if out is None:
+        out = _decode_ppm(payload)
+    return out if out is not None else _decode_image_stub(payload)
 
 
 def image_features(media: DataFrame, ref_col: str = "media_ref", payload_col: str = "payload") -> DataFrame:
@@ -53,7 +152,7 @@ def image_features(media: DataFrame, ref_col: str = "media_ref", payload_col: st
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[payload_col]
-            decoded = [_decode_image_stub(b if b is not None else b"") for b in payloads]
+            decoded = [decode_image(b if b is not None else b"") for b in payloads]
             yield pd.DataFrame(
                 {
                     "media_ref": pdf[ref_col],
@@ -106,20 +205,35 @@ def sample_frames(media: DataFrame, every_n: int = 10,
     return media.mapInPandas(gen, FRAME_SAMPLE_SCHEMA)
 
 
+# a valid 54-byte header for a 4×4 24bpp BI_RGB BMP (stride 12, no pad):
+# the synthesized payloads below append 48 pixel bytes derived from the
+# media_ref, producing REAL decodable bitmaps for the bmp bucket
+_BMP_4X4_HEADER = (
+    b"BM" + struct.pack("<IHHI", 102, 0, 0, 54)
+    + struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 24, 0, 48, 0, 0, 0, 0)
+)
+
+
 def media_payloads_from_docs(docs: DataFrame) -> DataFrame:
     """Extract media spans from interleaved documents and synthesize their
     payload bytes deterministically from the media_ref (sandbox stand-in
-    for reading the payload store)."""
+    for reading the payload store). One bucket in four is a REAL
+    uncompressed BMP whose pixels derive from the ref — exercising the
+    genuine decode path; the rest carry compressed-format magics that
+    reach the documented stub."""
     media = docs.select(F.explode("spans").alias("span")).filter(
         F.col("span.kind") == "media"
     )
     ref = F.col("span.media_ref")
     seed = F.abs(F.xxhash64(ref))
-    magic = (
-        F.when(F.pmod(seed, F.lit(4)) == 0, F.lit(b"\x89PNG\r\n\x1a\n"))
-        .when(F.pmod(seed, F.lit(4)) == 1, F.lit(b"\xff\xd8\xff\xe0"))
-        .when(F.pmod(seed, F.lit(4)) == 2, F.lit(b"GIF89a"))
-        .otherwise(F.lit(b"RIFF1234WEBP"))
+    ref_bytes = F.encode(F.repeat(ref, 8), "utf-8")
+    bmp = F.concat(
+        F.lit(_BMP_4X4_HEADER).cast("binary"), F.substring(ref_bytes, 1, 48)
     )
-    body = F.concat(magic.cast("binary"), F.encode(F.repeat(ref, 8), "utf-8"))
+    body = (
+        F.when(F.pmod(seed, F.lit(4)) == 0, F.concat(F.lit(b"\x89PNG\r\n\x1a\n").cast("binary"), ref_bytes))
+        .when(F.pmod(seed, F.lit(4)) == 1, F.concat(F.lit(b"\xff\xd8\xff\xe0").cast("binary"), ref_bytes))
+        .when(F.pmod(seed, F.lit(4)) == 2, bmp)
+        .otherwise(F.concat(F.lit(b"RIFF1234WEBP").cast("binary"), ref_bytes))
+    )
     return media.select(ref.alias("media_ref"), body.alias("payload")).distinct()

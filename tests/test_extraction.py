@@ -93,10 +93,16 @@ def test_multimodal_plumbing(spark, sf_dir):
     feats = image_features(media)
     frows = feats.collect()
     assert len(frows) == n
-    for r in frows[:5]:
-        assert r["mime"] in ("image/png", "image/jpeg", "image/gif", "image/webp")
-        assert len(r["feat"]) == 8 and 64 <= r["width"] <= 2048
-    # determinism of the stub
+    mimes = {r["mime"] for r in frows}
+    assert mimes <= {"image/png", "image/jpeg", "image/bmp", "image/webp"}
+    for r in frows:
+        assert len(r["feat"]) == 8
+        if r["mime"] == "image/bmp":
+            # the REAL decoder reads true dimensions from the header
+            assert (r["width"], r["height"]) == (4, 4)
+        else:
+            assert 64 <= r["width"] <= 2048  # stub-derived
+    # determinism of decode (real + stub paths)
     again = image_features(media).collect()
     assert sorted(map(str, frows)) == sorted(map(str, again))
     assert resize_images(media).count() == n

@@ -1,0 +1,79 @@
+"""Real BMP/PPM decoders: true dimensions and pixel statistics, fallback
+to the documented stub for anything else."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from simplecommoncrawlextractor_spark.functions.sniff import _sniff_one
+from simplecommoncrawlextractor_spark.operators.multimodal import (
+    _decode_image_stub,
+    decode_image,
+)
+
+
+def _make_bmp(width, height, px_rgb, bpp=24, top_down=False):
+    """Build an uncompressed BI_RGB BMP from an (h, w, 3) RGB array."""
+    step = bpp // 8
+    stride = ((width * step) + 3) & ~3
+    h_field = -height if top_down else height
+    rows = px_rgb if top_down else px_rgb[::-1]
+    body = b""
+    for r in rows:
+        line = b""
+        for p in r:
+            bgr = bytes([p[2], p[1], p[0]])
+            line += bgr + (b"\xff" if bpp == 32 else b"")
+        body += line.ljust(stride, b"\x00")
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    hdr += struct.pack("<IiiHHIIiiII", 40, width, h_field, 1, bpp, 0, len(body), 0, 0, 0, 0)
+    return hdr + body
+
+
+def test_bmp_decode_true_pixels():
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]],
+         [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8
+    )
+    for top_down in (False, True):
+        for bpp in (24, 32):
+            payload = _make_bmp(2, 2, px, bpp=bpp, top_down=top_down)
+            w, h, feat = decode_image(payload)
+            assert (w, h) == (2, 2)
+            # channel means over the four pixels: 2/4 red on, etc.
+            assert np.allclose(feat[:3], [0.5, 0.5, 0.5], atol=1e-6)
+            assert feat[6] == 0.5  # aspect w/(w+h)
+    assert _sniff_one(_make_bmp(2, 2, px)) == "image/bmp"
+
+
+def test_ppm_decode_with_comment():
+    body = bytes([10, 20, 30] * 6)
+    payload = b"P6\n# a comment\n3 2\n255\n" + body
+    w, h, feat = decode_image(payload)
+    assert (w, h) == (3, 2)
+    assert np.allclose(feat[:3], [10 / 255, 20 / 255, 30 / 255], atol=1e-6)
+    assert feat[3] == 0.0  # constant image -> zero gray std
+    assert _sniff_one(payload) == "image/x-portable-pixmap"
+
+
+def test_malformed_falls_back_to_stub():
+    for junk in (
+        b"BMshort",                        # truncated header
+        b"BM" + b"\x00" * 60,              # zero width
+        b"P6 3 2 255",                     # ppm without pixel data
+        b"\x89PNG\r\n\x1a\npretend",       # compressed format -> stub
+        b"",
+    ):
+        gw, gh, gf = decode_image(junk)
+        sw, sh, sf = _decode_image_stub(junk)
+        assert (gw, gh) == (sw, sh) and np.array_equal(gf, sf)
+
+
+def test_bmp_compressed_or_weird_bpp_rejected():
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    payload = bytearray(_make_bmp(2, 2, px))
+    struct.pack_into("<I", payload, 30, 1)  # BI_RLE8 compression
+    w, _, _ = decode_image(bytes(payload))
+    assert w == _decode_image_stub(bytes(payload))[0]
