@@ -292,6 +292,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s9_wiki_external_links"] = s9_wiki_external_links
 
+    def s6_shard_manifest(s, d):
+        from simplecommoncrawlextractor_spark.sources.shards import shard_manifest
+
+        return shard_manifest(s, "CC-MAIN-2026-08", n_shards=300).orderBy("shard_num")
+
+    q["s6_shard_manifest"] = s6_shard_manifest
+
+    def s6_shard_download(s, d):
+        """Rows-only: distributed shard fetch (simulated transport) into a
+        throwaway dir — statuses + byte counts are deterministic."""
+        import tempfile
+
+        from simplecommoncrawlextractor_spark.sources.shards import (
+            download_shards,
+            shard_manifest,
+        )
+
+        out = tempfile.mkdtemp(prefix="ccspark-shards-")
+        m = shard_manifest(s, "CC-MAIN-2026-08", n_shards=32)
+        return download_shards(m, out).select(
+            "output_name", "status", "n_bytes"
+        ).orderBy("output_name")
+
+    q["s6_shard_download"] = s6_shard_download
+
+    def s7_shard_sizes(s, d):
+        from simplecommoncrawlextractor_spark.sources.shards import (
+            head_shard_sizes,
+            shard_manifest,
+        )
+
+        m = shard_manifest(s, "CC-MAIN-2026-08", n_shards=32)
+        return head_shard_sizes(m).orderBy("output_name")
+
+    q["s7_shard_sizes"] = s7_shard_sizes
+
     def f14_identity(s, d):
         from simplecommoncrawlextractor_spark.functions.mappers import (
             identity_field_mapper,
@@ -603,6 +639,14 @@ def oracle_sql() -> dict[str, str]:
         "'ext:' || regexp_extract(url, '\\.(html|pdf)$', 1) ELSE url END AS ext_or_url "
         "FROM cdx"
     )
+    o["s6_shard_manifest"] = (
+        "SELECT CAST(i AS INT) AS shard_num, "
+        "'https://commoncrawl.s3.amazonaws.com/cc-index/collections/CC-MAIN-2026-08/indexes/cdx-' "
+        "|| lpad(CAST(i AS VARCHAR), 5, '0') || '.gz' AS shard_url, "
+        "'CC-MAIN-2026-08-cdx-' || lpad(CAST(i AS VARCHAR), 5, '0') || '.gz' AS output_name "
+        "FROM range(300) t(i) ORDER BY shard_num"
+    )
+
     o["s9_wiki_external_links"] = oracle_cte(
         "SELECT regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]+)', 1) AS host, url "
         "FROM (SELECT CASE WHEN rec_id % 7 = 0 THEN 'http:' || regexp_replace(url, '^https?:', '') "
