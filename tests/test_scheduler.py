@@ -174,3 +174,23 @@ def test_matches_pure_python_reference_simulator(spark, tmp_path):
     want = sorted(crawl, key=lambda r: (r[0], r[1], r[2]))
     assert got == [tuple(map(lambda x: x, w)) for w in want]
     assert {r["url_hash"] for r in sched.url_seen().collect()} == seen
+
+
+def test_dedup_by_hash_tiebreak_is_partition_order_independent(spark):
+    """Canonical twins ('?a=1&b=2' vs '?b=2&a=1') share url_canon AND the
+    hash-derived priority/discovered_at — the retained raw 'url' must be
+    the lexicographic minimum regardless of input partitioning/order."""
+    from simplecommoncrawlextractor_spark.plans.frontier import (
+        canonical_candidates,
+    )
+
+    twins = [
+        ("https://t.example.com/p?b=2&a=1",),
+        ("https://t.example.com/p?a=1&b=2",),
+    ]
+    for order in (twins, twins[::-1]):
+        for parts in (1, 8):
+            df = spark.createDataFrame(order, "url string").repartition(parts)
+            got = canonical_candidates(df).collect()
+            assert len(got) == 1
+            assert got[0]["url"] == "https://t.example.com/p?a=1&b=2"

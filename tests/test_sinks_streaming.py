@@ -114,3 +114,43 @@ def test_streaming_drain(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert sched.frontier().count() == n1
+
+
+def test_streaming_drain_obeys_robots(spark, tmp_path):
+    """The streaming path must apply the same robots admission the batch
+    path does: candidates whose host/prefix is disallowed never enter the
+    frontier via foreachBatch."""
+    from pyspark.sql import functions as F
+
+    from simplecommoncrawlextractor_spark.plans.frontier import (
+        canonical_candidates,
+        harvest_outlinks,
+    )
+    from simplecommoncrawlextractor_spark.sources import interleaved_documents
+    from simplecommoncrawlextractor_spark.streaming import (
+        stream_documents_to_frontier,
+    )
+
+    docs = interleaved_documents(spark, "/root/testdata/sf0.001").limit(40)
+    src = str(tmp_path / "drops")
+    docs.write.mode("overwrite").parquet(src)
+
+    # disallow every host that appears in the drop's harvested candidates
+    cand = canonical_candidates(harvest_outlinks(spark.read.parquet(src)))
+    hosts = [r["host"] for r in cand.select("host").distinct().collect()]
+    assert hosts
+    banned = hosts[: max(1, len(hosts) // 2)]
+    rules = spark.createDataFrame(
+        [(h, "/", 0) for h in banned],
+        "host string, disallow_prefix string, crawl_delay int",
+    )
+
+    store = StateStore(str(tmp_path / "state"))
+    sched = CrawlScheduler(
+        spark, store, host_budget=4, salt_k=4, n_buckets=8, robots_rules=rules
+    )
+    sched.bootstrap(seed_frontier(spark, n=5))
+    q = stream_documents_to_frontier(spark, sched, src, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    in_frontier = sched.frontier().filter(F.col("host").isin(banned)).count()
+    assert in_frontier == 0, f"{in_frontier} disallowed rows entered via streaming"
