@@ -83,8 +83,22 @@ def load_field_mapper_config(config: dict) -> dict[str, list[dict]]:
     ``capture`` object builds a capture mapper, else ``filter`` builds a
     filter mapper, else identity; rules apply in file order under the
     field named by ``f``). fail_policy strings map as the reference does:
-    'skip'→SKIP_FIELD, 'store_as_is'→STORE_AS_IS."""
+    'skip'→SKIP_FIELD, 'store_as_is'→STORE_AS_IS.
+
+    ``ignore_case`` is validated exactly as the reference validates it
+    (FieldMapper.java:85-101 throws unless it is the string 'true' or
+    'false') and then, exactly like the reference, NOT applied to pattern
+    matching — FieldMapper stores the flag but compiles every Pattern
+    case-sensitively and getIgnoreCase has no matcher callers; configs
+    wanting case-insensitivity embed ``(?i)`` in the pattern, as
+    url_mappings.json's first rule does."""
     root = config.get("field_mapper", config)
+    if "ignore_case" in root or "field_mapper" in config:
+        ic = str(root.get("ignore_case", "")).lower()
+        if ic not in ("true", "false"):
+            raise ValueError(
+                "ignore_case must have a value of 'true' or 'false'"
+            )
     fields: dict[str, list[dict]] = {}
     for m in root.get("mappings", []):
         frm = m["f"]

@@ -119,7 +119,11 @@ def rolling_fingerprint(text: pd.Series) -> pd.Series:
     tok_lists = s.str.lower().str.split()
     lens = tok_lists.map(len).to_numpy(dtype=np.int64)
     pad_lens = np.maximum(lens, W)
-    pad_lens[lens == 0] = 0  # empty/null docs emit nothing
+    # ONLY empty/null docs emit nothing (the scalar guard is `not t`);
+    # whitespace-only docs tokenize to zero tokens but still pad to W
+    # empty tokens and hash — zeroing on lens==0 would merge them with
+    # empty docs and diverge from the scalar definition
+    pad_lens[(s == "").to_numpy()] = 0
     flat: list[str] = []
     for toks, ln, pln in zip(tok_lists, lens, pad_lens):
         if pln == 0:

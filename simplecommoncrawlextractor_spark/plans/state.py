@@ -244,10 +244,6 @@ class BloomSeenSet:
         )
         return remaining, rebuilt
 
-    def merge_rebuilt_blooms(self, blooms: DataFrame, rebuilt: DataFrame) -> DataFrame:
-        """Replace touched buckets' blobs with their rebuilt versions."""
-        untouched = blooms.join(rebuilt.select("bucket"), "bucket", "left_anti")
-        return untouched.unionByName(rebuilt)
 
 
 class StateStore:
@@ -381,11 +377,8 @@ class StateStore:
         owner map, and compact once the part list grows past
         MAX_UPSERT_PARTS. The distinct-key collect is bounded by the key
         domain (bloom bucket count), i.e. manifest metadata — it never
-        scales with row count."""
-        rel = f"{name}/u{sid}"
-        df.write.mode("overwrite").partitionBy(keycol).parquet(
-            os.path.join(self.root, rel)
-        )
+        scales with row count. An EMPTY delta writes nothing and carries
+        the previous entry forward (no dead parts, no compaction churn)."""
         new_keys = [r[0] for r in df.select(keycol).distinct().collect()]
         prev = m["tables"].get(name)
         if prev is None:
@@ -393,15 +386,30 @@ class StateStore:
         elif isinstance(prev, dict):
             parts, owners = list(prev["parts"]), dict(prev["owners"])
         else:
-            # migrate a plain table: its single latest version becomes part 0
+            # migrate a plain/append table: resolve ALL its parts into one
+            # compacted base (a key's rows could live in any of them) —
+            # one-time O(table) cost at the kind switch, never per-round
             spark = df.sparkSession
             prev_parts = prev if isinstance(prev, list) else [prev]
-            base = spark.read.parquet(
-                *[os.path.join(self.root, p) for p in prev_parts]
+            dfs = [
+                spark.read.parquet(os.path.join(self.root, p)) for p in prev_parts
+            ]
+            base = dfs[0]
+            for d in dfs[1:]:
+                base = base.unionByName(d)
+            base_rel = f"{name}/m{sid}"
+            base.write.mode("overwrite").partitionBy(keycol).parquet(
+                os.path.join(self.root, base_rel)
             )
             prev_keys = [r[0] for r in base.select(keycol).distinct().collect()]
-            parts = [prev_parts[-1]] if len(prev_parts) == 1 else prev_parts
+            parts = [base_rel]
             owners = {str(k): 0 for k in prev_keys}
+        if not new_keys:
+            return {"kind": "upsert", "key": keycol, "parts": parts, "owners": owners}
+        rel = f"{name}/u{sid}"
+        df.write.mode("overwrite").partitionBy(keycol).parquet(
+            os.path.join(self.root, rel)
+        )
         idx = len(parts)
         parts.append(rel)
         for k in new_keys:
@@ -410,7 +418,8 @@ class StateStore:
         if len(parts) > self.MAX_UPSERT_PARTS:
             # compact: materialize the resolved view as a fresh single base.
             # Amortized O(state / MAX_UPSERT_PARTS) per round — the delta
-            # commits stay O(round).
+            # commits stay O(round). owners is non-empty here (new_keys
+            # guaranteed it), so the resolve cannot come up empty.
             resolved = self._read_upsert_entry(df.sparkSession, entry)
             base_rel = f"{name}/v{sid}"
             resolved.write.mode("overwrite").partitionBy(keycol).parquet(

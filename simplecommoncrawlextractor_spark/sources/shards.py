@@ -84,10 +84,16 @@ def download_shards(
     ``out_dir/{output_name}``, return (output_name, status, n_bytes, path).
     Each task handles its partition's shards sequentially — parallelism is
     the executor-core count, the Spark analog of the reference's thread
-    pool; a failed shard becomes a 'failed' row, not a crashed job."""
-    os.makedirs(out_dir, exist_ok=True)
+    pool; a failed shard becomes a 'failed' row, not a crashed job.
+
+    ``out_dir`` must be storage every executor can reach (shared FS /
+    fuse mount); on a multi-node cluster with plain local paths each task
+    writes to ITS OWN node's disk and the returned paths are
+    executor-local — the mkdir below runs task-side so that mode at
+    least works per-node."""
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        os.makedirs(out_dir, exist_ok=True)  # task-side: executors need it too
         for pdf in batches:
             names, statuses, sizes, paths = [], [], [], []
             for url, name in zip(pdf["shard_url"], pdf["output_name"]):

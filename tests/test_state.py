@@ -205,3 +205,44 @@ def test_upsert_compaction_bounds_part_list(spark, tmp_path):
     )
     got = {r["bucket"]: r["n_items"] for r in resolved.collect()}
     assert got == expect
+
+
+def test_upsert_empty_delta_carries_forward(spark, tmp_path):
+    """Empty upsert deltas must not grow the part list (a crawl round
+    that schedules nothing would otherwise force compaction churn and,
+    once owners was empty, an IndexError at compaction)."""
+    import json
+
+    store = StateStore(str(tmp_path / "empty"))
+    seen = BloomSeenSet(n_buckets=4)
+    rows = seen.bucketize(
+        spark.range(50).selectExpr("xxhash64(cast(id as string)) as url_hash")
+    ).select("bucket", "url_hash")
+    store.commit(tables={}, upserts={"blooms": seen.build_blooms(rows)})
+    empty = spark.createDataFrame(
+        [], "bucket int, bitmap binary, n_bits long, n_hashes int, n_items long"
+    )
+    for _ in range(StateStore.MAX_UPSERT_PARTS + 2):
+        store.commit(tables={}, upserts={"blooms": empty})
+    m = json.load(open(os.path.join(str(tmp_path / "empty"), "manifest.json")))
+    assert len(m["tables"]["blooms"]["parts"]) == 1
+    got = store.read(
+        spark, "blooms", "bucket int, bitmap binary, n_bits long, n_hashes int, n_items long"
+    )
+    assert got.count() == 4
+
+
+def test_upsert_migration_resolves_all_prev_parts(spark, tmp_path):
+    """Switching a multi-part (append) table to upsert must not lose rows
+    that live only in later parts."""
+    store = StateStore(str(tmp_path / "mig"))
+    mk = lambda b, n: spark.createDataFrame([(b, bytes([b]), 8, 1, n)],
+        "bucket int, bitmap binary, n_bits long, n_hashes int, n_items long")
+    store.commit(tables={}, appends={"t": mk(0, 1)})
+    store.commit(tables={}, appends={"t": mk(1, 2)}, carry_forward=["t"])
+    # upsert delta touching bucket 0 only; bucket 1 (in part 2) must survive
+    store.commit(tables={}, upserts={"t": mk(0, 9)})
+    got = {r["bucket"]: r["n_items"] for r in store.read(
+        spark, "t", "bucket int, bitmap binary, n_bits long, n_hashes int, n_items long"
+    ).collect()}
+    assert got == {0: 9, 1: 2}

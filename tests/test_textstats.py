@@ -21,6 +21,11 @@ GOLDEN = [
     ("f", None, 0),
     ("g", "unicode tökens naïve café über straße test here okay",
      8425784483616858197),
+    # whitespace-only is NOT empty: the scalar guard (`not t`) lets it
+    # through to the 8-empty-token pad, unlike '' — pinned after a review
+    # caught the vectorized path merging the two classes
+    ("h", "   ", 5380763840981117296),
+    ("i", "\t\n", 5380763840981117296),
 ]
 
 
