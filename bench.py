@@ -63,6 +63,11 @@ def run_bench() -> dict:
     spark.range(100_000).select(
         canonicalize_url(F.concat(F.lit("HTTP://W.Ex.COM:80/p/"), F.col("id").cast("string")))
     ).count()
+    # warm the actual query shapes (codegen JIT + python workers for their
+    # UDF stages) against the tiny sf0.001 data — a plain count() would
+    # prune the CDX CASE derivations and warm nothing
+    for wq in ("a1_count_mimes", "frontier_schedule_batch", "ann_lsh_bucketed"):
+        queries[wq](spark, "/root/testdata/sf0.001").count()
     total = 0.0
     for name in BENCH_QUERIES:
         fn = queries[name]

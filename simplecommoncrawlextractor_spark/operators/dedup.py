@@ -22,17 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import doc_fingerprint
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition a narrower-than-cluster scan before text-heavy compute.
-    Tiny/benchmark parquet files arrive as 1-2 input splits, serializing
-    the shingling on one core; at real scale inputs carry enough splits
-    that this is a no-op (the check is metadata-only, no job)."""
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from ..sources.tables import spread as _spread
 
 
 def _pairs_from_ids(ids_col) -> F.Column:
@@ -208,32 +198,38 @@ def ngram_jaccard_pairs(
     trades a bounded similarity underestimate for a bounded join. Doc
     sizes keep counting ALL shingles — J is underestimated, never
     overestimated, so the threshold stays a lower-bound guarantee."""
+    from pyspark.sql.window import Window
+
     sh = shingles(docs, shingle_n, text_col, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    # group ids per shingle ONCE; the frequency cap is a size filter on the
-    # grouped list and pair generation happens in-group — one evaluation of
-    # the shingle pipeline feeds both the cap and the pairs (a semi-join +
-    # self-join would traverse it three times)
-    grp = sh.groupBy("shingle").agg(F.collect_list(id_col).alias("ids"))
+    # per-doc shingle-set size as a window count, carried WITH each shingle
+    # row into the per-shingle grouping: ONE evaluation of the shingle
+    # pipeline feeds the cap, the pairs AND both pair-side sizes (separate
+    # sizes joins would re-evaluate the pipeline once per join branch —
+    # three documents scans instead of one)
+    shz = sh.withColumn("sz", F.count("*").over(Window.partitionBy(id_col)))
+    grp = shz.groupBy("shingle").agg(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("i"), F.col("sz").alias("s"))
+        ).alias("ids")
+    )
     if max_doc_freq is not None:
         grp = grp.filter(F.size("ids") <= max_doc_freq)
+    # struct elements sort by (i, s) = id-first, so pair order matches the
+    # plain-id version
     inter = (
         grp.filter(F.size("ids") >= 2)
         .select(F.explode(_pairs_from_ids(F.col("ids"))).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    j = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        .groupBy(F.col("p.id_a.i").alias("id_a"), F.col("p.id_b.i").alias("id_b"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("p.id_a.s").alias("sz_a"),
+            F.first("p.id_b.s").alias("sz_b"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
+    j = inter.withColumn(
+        "jaccard",
+        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+    ).filter(F.col("jaccard") >= threshold)
     return j.select("id_a", "id_b", "inter", "sz_a", "sz_b").orderBy("id_a", "id_b")
 
 

@@ -29,13 +29,21 @@ def harvest_outlinks(docs: DataFrame) -> DataFrame:
     equality on (kind, text, media_ref, order)); only text spans are
     scanned; extraction is one Arrow-batched pandas UDF over the span text.
     """
+    from ..sources.tables import spread
+
     spans = docs.select(
         "doc_id", F.posexplode("spans").alias("span_order", "span")
     ).filter(F.col("span.kind") == "text")
+    # spread AFTER projecting down to the span text: a narrow benchmark
+    # scan then shuffles only (doc_id, span_order, text) — not the full
+    # span arrays — before the Arrow-UDF extraction fans out across cores
+    spans = spread(
+        spans.select("doc_id", "span_order", F.col("span.text").alias("__t"))
+    )
     return spans.select(
         "doc_id",
         "span_order",
-        F.explode(extract_urls(F.col("span.text"))).alias("url"),
+        F.explode(extract_urls(F.col("__t"))).alias("url"),
     )
 
 

@@ -22,6 +22,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition a narrower-than-cluster scan before per-row-heavy
+    compute (explode, Arrow UDFs, shingling). Tiny/benchmark parquet files
+    arrive as 1-2 input splits, serializing that work on one core; at real
+    scale inputs carry enough splits that this is a no-op (the partition
+    check is metadata-only, no job runs)."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register the testdata tables as temp views so shared ANSI-SQL
     snippets (the DuckDB-oracle CTEs) run verbatim on the Spark side too."""

@@ -85,3 +85,29 @@ def test_whole_stage_codegen_covers_relational_core(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", old)
     # Spark 4 renders whole-stage-codegen stages as "*(N) Operator"
     assert "*(1)" in plan and "*(2)" in plan
+
+
+def test_ann_bucketed_no_cartesian_and_min_by(spark, sf_dir):
+    """The oracled ANN headline must be equi-joins on (tbl, bucket) + a
+    min_by hash aggregation — never a cartesian/nested-loop pair stage or
+    a window sort (the round-1 crossJoin is gone for good)."""
+    qs = entrymod.queries()
+    plan = _plan(qs["ann_lsh_bucketed"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "min_by" in plan
+    assert "Window" not in plan
+    # the planes table rides a broadcast, not plan literals: no thousands
+    # of CASE WHEN weight nodes in the plan text
+    assert plan.count("CASE WHEN") < 50
+
+
+def test_dedup_caps_no_join_branch_reevaluation(spark, sf_dir):
+    """minhash/jaccard pair generation comes from ONE grouped subtree
+    (collect_list + in-group pairs): the plan must contain exactly one
+    scan of the documents table — a self-join shape would scan it twice."""
+    qs = entrymod.queries()
+    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard"):
+        plan = _plan(qs[name](spark, sf_dir))
+        n_scans = plan.count("documents.parquet")
+        assert n_scans == 1, (name, n_scans)
+        assert "CartesianProduct" not in plan
