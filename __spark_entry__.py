@@ -432,6 +432,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_near_dups"] = lambda s, d: SIM.embedding_near_dups(
         _emb(s, d).filter(F.col("vec_id") % 5 == 0), threshold=0.4
     )
+    q["ann_near_dups_bucketed"] = lambda s, d: SIM.embedding_near_dups_bucketed(
+        _emb(s, d), threshold=0.4, dim=64, n_planes=4, n_tables=8, max_bucket=512
+    )
 
     # --- extraction + multimodal (rows-only: binary payloads, UDF sniff) --
     def extraction_select(s, d):
@@ -786,6 +789,45 @@ ORDER BY 1, 2
     # oracle replays the multi-table bucketing bit-for-bit; the per-table
     # bucket-size cap mirrors ann_bucketed_top1(max_bucket=512)
     _ANN_DIM, _ANN_PLANES, _ANN_TABLES, _ANN_CAP = 64, 4, 8, 512
+    _ANN_BUCKET_CTE = f"""
+planes AS (
+  SELECT g // {_ANN_PLANES} AS tbl, g % {_ANN_PLANES} AS p,
+         list_transform(generate_series(0, {_ANN_DIM - 1}),
+         j -> CASE WHEN ((1 + g*{_ANN_DIM} + j) * 2654435761) % 4294967296 < 2147483648
+              THEN 1.0 ELSE -1.0 END) AS w
+  FROM (SELECT unnest(generate_series(0, {_ANN_PLANES * _ANN_TABLES - 1})) AS g)
+),
+proj AS (
+  SELECT e.vec_id, pl.tbl, pl.p,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.w) AS s
+  FROM embeddings e, planes pl
+),
+buck AS (
+  SELECT vec_id, tbl,
+         CAST(sum(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY 1, 2
+),
+keep AS (
+  SELECT b.vec_id, b.tbl, b.bucket FROM buck b
+  JOIN (SELECT tbl, bucket FROM buck GROUP BY tbl, bucket HAVING count(*) <= {_ANN_CAP}) s
+  ON b.tbl = s.tbl AND b.bucket = s.bucket
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keep a JOIN keep b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+""".strip()
+    o["ann_near_dups_bucketed"] = f"""
+WITH {_ANN_BUCKET_CTE}
+SELECT c.id_a, c.id_b
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))) >= 0.4
+ORDER BY 1, 2
+""".strip()
     o["ann_lsh_bucketed"] = f"""
 WITH planes AS (
   SELECT g // {_ANN_PLANES} AS tbl, g % {_ANN_PLANES} AS p,

@@ -180,11 +180,54 @@ def ann_bucketed_top1(
     )
 
 
+def embedding_near_dups_bucketed(
+    emb: DataFrame, threshold: float = 0.95,
+    dim: int = 16, n_planes: int = 4, n_tables: int = 8,
+    max_bucket: int | None = 512,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dup pairs: candidates from the same
+    multi-table SRP buckets as ann_bucketed_top1, threshold applied after
+    one cosine per distinct unordered pair. Recall < 1 by construction —
+    but for the near-dup regime (cos ≥ ~0.9, angle ≤ 26°) each 4-bit
+    table collides with p^4 ≈ 0.55, so 8 tables catch ≈ 1-(0.45)^8 ≈ 0.998
+    of true near-dup pairs; far better than its top-1 recall."""
+    buck = srp_bucket_assignments(emb, dim, n_planes, n_tables, id_col, vec_col)
+    if max_bucket is not None:
+        sizes = buck.groupBy("tbl", "bucket").agg(F.count("*").alias("__n"))
+        keep = sizes.filter(F.col("__n") <= max_bucket).select("tbl", "bucket")
+        buck = buck.join(F.broadcast(keep), ["tbl", "bucket"], "left_semi")
+    a = buck.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
+    b = buck.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
+    # distinct here (unlike top-1): every surviving pair is OUTPUT, so
+    # duplicates across tables would duplicate result rows
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    normed = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).select(id_col, "__v", _norm(F.col("__v")).alias("__n"))
+    ea = normed.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na"))
+    eb = normed.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .filter(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= threshold)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (ids only): cos ≥ threshold."""
+    """Embedding-cosine near-duplicate pairs (ids only): cos ≥ threshold.
+    O(N²) crossJoin — the exactness verifier on bounded samples; the scale
+    path is embedding_near_dups_bucketed."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))

@@ -84,3 +84,26 @@ def test_bucket_assignment_deterministic_across_parallelism(spark, emb):
     one = srp_bucket_assignments(emb.repartition(1), 64, 4, n_tables=4)
     many = srp_bucket_assignments(emb.repartition(16), 64, 4, n_tables=4)
     assert one.exceptAll(many).count() == 0 and many.exceptAll(one).count() == 0
+
+
+def test_bucketed_near_dups_recall(spark, emb):
+    from simplecommoncrawlextractor_spark.operators.similarity import (
+        embedding_near_dups,
+        embedding_near_dups_bucketed,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups_bucketed(
+            emb, threshold=0.4, dim=64, n_planes=4, n_tables=8, max_bucket=512
+        ).collect()
+    }
+    assert approx <= exact, "bucketed path emitted a non-near-dup pair"
+    assert exact, "fixture has no near-dup pairs at this threshold"
+    recall = len(approx) / len(exact)
+    print(f"\nnear-dup recall report: {recall:.3f} of {len(exact)} true pairs")
+    assert recall >= 0.6, recall
