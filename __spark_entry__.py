@@ -435,6 +435,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_near_dups_bucketed"] = lambda s, d: SIM.embedding_near_dups_bucketed(
         _emb(s, d), threshold=0.4, dim=64, n_planes=4, n_tables=8, max_bucket=512
     )
+    q["ann_multiprobe_top1"] = lambda s, d: SIM.ann_multiprobe_top1(
+        _emb(s, d), dim=64, n_planes=4, n_tables=4, max_bucket=512
+    )
 
     # --- extraction + multimodal (rows-only: binary payloads, UDF sniff) --
     def extraction_select(s, d):
@@ -789,13 +792,18 @@ ORDER BY 1, 2
     # oracle replays the multi-table bucketing bit-for-bit; the per-table
     # bucket-size cap mirrors ann_bucketed_top1(max_bucket=512)
     _ANN_DIM, _ANN_PLANES, _ANN_TABLES, _ANN_CAP = 64, 4, 8, 512
-    _ANN_BUCKET_CTE = f"""
+
+    def _ann_cte(n_tables: int) -> str:
+        """planes → proj → buck → keep CTE chain for n_tables SRP tables
+        (shared by all bucketed-ANN oracles; parameterized because the
+        multi-probe variant uses half the tables)."""
+        return f"""
 planes AS (
   SELECT g // {_ANN_PLANES} AS tbl, g % {_ANN_PLANES} AS p,
          list_transform(generate_series(0, {_ANN_DIM - 1}),
          j -> CASE WHEN ((1 + g*{_ANN_DIM} + j) * 2654435761) % 4294967296 < 2147483648
               THEN 1.0 ELSE -1.0 END) AS w
-  FROM (SELECT unnest(generate_series(0, {_ANN_PLANES * _ANN_TABLES - 1})) AS g)
+  FROM (SELECT unnest(generate_series(0, {_ANN_PLANES * n_tables - 1})) AS g)
 ),
 proj AS (
   SELECT e.vec_id, pl.tbl, pl.p,
@@ -811,14 +819,41 @@ keep AS (
   SELECT b.vec_id, b.tbl, b.bucket FROM buck b
   JOIN (SELECT tbl, bucket FROM buck GROUP BY tbl, bucket HAVING count(*) <= {_ANN_CAP}) s
   ON b.tbl = s.tbl AND b.bucket = s.bucket
+)
+""".strip()
+
+    _COS = (
+        "list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))))"
+    )
+    o["ann_multiprobe_top1"] = f"""
+WITH {_ann_cte(4)},
+aprobe AS (
+  SELECT k.vec_id, k.tbl,
+         unnest([k.bucket, xor(k.bucket, 1), xor(k.bucket, 2), xor(k.bucket, 4), xor(k.bucket, 8)]) AS bucket
+  FROM keep k
 ),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM aprobe a JOIN keep b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id != b.vec_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b, {_COS} AS cos
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+)
+SELECT id_a AS vec_id, id_b AS nn_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn FROM pairs
+) WHERE rn = 1 ORDER BY vec_id
+""".strip()
+    o["ann_near_dups_bucketed"] = f"""
+WITH {_ann_cte(_ANN_TABLES)},
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM keep a JOIN keep b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-""".strip()
-    o["ann_near_dups_bucketed"] = f"""
-WITH {_ANN_BUCKET_CTE}
 SELECT c.id_a, c.id_b
 FROM cand c
 JOIN embeddings ea ON ea.vec_id = c.id_a

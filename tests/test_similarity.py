@@ -107,3 +107,23 @@ def test_bucketed_near_dups_recall(spark, emb):
     recall = len(approx) / len(exact)
     print(f"\nnear-dup recall report: {recall:.3f} of {len(exact)} true pairs")
     assert recall >= 0.6, recall
+
+
+def test_multiprobe_beats_pure_multitable_recall(spark, emb):
+    """One-bit multi-probe with HALF the tables must beat the 8-table
+    pure variant's top-1 recall (that's its whole point)."""
+    from simplecommoncrawlextractor_spark.operators.similarity import (
+        ann_multiprobe_top1,
+    )
+
+    exact = {r["vec_id"]: r["nn_id"] for r in cosine_top1(emb).collect()}
+    mp = {
+        r["vec_id"]: r["nn_id"]
+        for r in ann_multiprobe_top1(
+            emb, dim=64, n_planes=4, n_tables=4, max_bucket=512
+        ).collect()
+    }
+    hits = sum(1 for v in set(mp) & set(exact) if mp[v] == exact[v])
+    recall = hits / len(exact)
+    print(f"\nmulti-probe recall report: top1-recall={recall:.3f} (8-table pure was 0.720)")
+    assert recall >= 0.8, recall
