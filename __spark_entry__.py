@@ -438,6 +438,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_multiprobe_top1"] = lambda s, d: SIM.ann_multiprobe_top1(
         _emb(s, d), dim=64, n_planes=4, n_tables=4, max_bucket=512
     )
+    q["ann_ivf_top1"] = lambda s, d: SIM.ann_ivf_top1(
+        _emb(s, d), centroid_stride=67, nprobe=3, max_cell=4096
+    )
 
     # --- extraction + multimodal (rows-only: binary payloads, UDF sniff) --
     def extraction_select(s, d):
@@ -837,6 +840,45 @@ aprobe AS (
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM aprobe a JOIN keep b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id != b.vec_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b, {_COS} AS cos
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+)
+SELECT id_a AS vec_id, id_b AS nn_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn FROM pairs
+) WHERE rn = 1 ORDER BY vec_id
+""".strip()
+    o["ann_ivf_top1"] = f"""
+WITH cent AS (
+  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id % 67 = 0
+),
+assign AS (
+  SELECT e.vec_id, c.cell,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(c.cv, c.cv))) AS cs
+  FROM embeddings e, cent c
+),
+probes AS (
+  SELECT vec_id, cell, rank FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rank
+    FROM assign
+  ) WHERE rank <= 3
+),
+cellkeep AS (
+  SELECT cell FROM probes WHERE rank = 1 GROUP BY cell HAVING count(*) <= 4096
+),
+home AS (
+  SELECT vec_id AS id_b, cell FROM probes WHERE rank = 1
+  AND cell IN (SELECT cell FROM cellkeep)
+),
+kprobes AS (SELECT p.* FROM probes p JOIN cellkeep USING (cell)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, h.id_b
+  FROM kprobes a JOIN home h ON a.cell = h.cell AND a.vec_id != h.id_b
 ),
 pairs AS (
   SELECT c.id_a, c.id_b, {_COS} AS cos

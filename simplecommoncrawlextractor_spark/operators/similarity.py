@@ -274,6 +274,86 @@ def embedding_near_dups_bucketed(
     )
 
 
+def ivf_cell_assignments(
+    emb: DataFrame, centroid_stride: int = 37, nprobe: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization, deterministic 'training': every
+    ``centroid_stride``-th vector (by id) is a centroid — no k-means
+    iterations, no RNG, any engine reproduces the cells. Each vector is
+    assigned its ``nprobe`` nearest centroids by cosine (rank 1 = its home
+    cell; ranks 2..nprobe are probe cells). Assignment is a broadcast of
+    the K centroids against the table — the standard O(N·K) IVF cost, all
+    JVM-side. Returns (id, rank, cell)."""
+    cent = emb.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    cent = cent.withColumn("cn", _norm(F.col("cv")))
+    v = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn("__n", _norm(F.col("__v")))
+    scored = v.join(F.broadcast(cent)).select(
+        F.col(id_col),
+        F.col("cell"),
+        (_dot(F.col("__v"), F.col("cv")) / (F.col("__n") * F.col("cn"))).alias("cs"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cs"), F.asc("cell"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= nprobe)
+        .select(id_col, "rank", "cell")
+    )
+
+
+def ann_ivf_top1(
+    emb: DataFrame, centroid_stride: int = 67, nprobe: int = 3,
+    max_cell: int | None = 4096,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: index side lives in its home cell (rank 1); the query side
+    probes its ``nprobe`` nearest cells — the asymmetric equi-join shape
+    every IVF implementation uses. ``max_cell`` skips degenerate cells
+    (same role as the LSH bucket cap). Complements the SRP variants: IVF
+    adapts to the data's actual cluster structure where SRP's hyperplanes
+    are data-oblivious. On weakly-clustered data (this synthetic fixture:
+    median nn cos ≈ 0.36) recall demands wide probing and IVF degrades
+    toward exhaustive search — expected; on real embedding corpora with
+    genuine cluster structure the same plan prunes most cells."""
+    probes = ivf_cell_assignments(emb, centroid_stride, nprobe, id_col, vec_col)
+    home = probes.filter(F.col("rank") == 1).select(
+        F.col(id_col).alias("id_b"), "cell"
+    )
+    if max_cell is not None:
+        sizes = home.groupBy("cell").agg(F.count("*").alias("__n"))
+        keep = sizes.filter(F.col("__n") <= max_cell).select("cell")
+        home = home.join(F.broadcast(keep), "cell", "left_semi")
+        probes = probes.join(F.broadcast(keep), "cell", "left_semi")
+    a = probes.select(F.col(id_col).alias("id_a"), "cell")
+    cand = a.join(home, "cell").filter(F.col("id_a") != F.col("id_b")).select(
+        "id_a", "id_b"
+    )
+    normed = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).select(id_col, "__v", _norm(F.col("__v")).alias("__n"))
+    ea = normed.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na"))
+    eb = normed.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb"))
+    scored = (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+    )
+    return (
+        scored.groupBy("id_a")
+        .agg(F.min_by(F.col("id_b"), F.struct((-F.col("cos")).alias("nc"), F.col("id_b").alias("i"))).alias("nn_id"))
+        .select(F.col("id_a").alias("vec_id"), "nn_id")
+        .orderBy("vec_id")
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -127,3 +127,24 @@ def test_multiprobe_beats_pure_multitable_recall(spark, emb):
     recall = hits / len(exact)
     print(f"\nmulti-probe recall report: top1-recall={recall:.3f} (8-table pure was 0.720)")
     assert recall >= 0.8, recall
+
+
+def test_ivf_recall_and_determinism(spark, emb):
+    from simplecommoncrawlextractor_spark.operators.similarity import (
+        ann_ivf_top1,
+        ivf_cell_assignments,
+    )
+
+    exact = {r["vec_id"]: r["nn_id"] for r in cosine_top1(emb).collect()}
+    ivf = {
+        r["vec_id"]: r["nn_id"]
+        for r in ann_ivf_top1(emb, centroid_stride=67, nprobe=3).collect()
+    }
+    hits = sum(1 for v in set(ivf) & set(exact) if ivf[v] == exact[v])
+    recall = hits / len(exact)
+    print(f"\nIVF recall report: top1-recall={recall:.3f} (nprobe=3, stride=67)")
+    assert recall >= 0.5, recall
+    # assignments are parallelism-invariant (deterministic centroids + ranks)
+    one = ivf_cell_assignments(emb.repartition(1), 67, 3)
+    many = ivf_cell_assignments(emb.repartition(16), 67, 3)
+    assert one.exceptAll(many).count() == 0 and many.exceptAll(one).count() == 0
