@@ -6,12 +6,17 @@ array<float>, label).
   a crossJoin, which is O(N²) BY DESIGN here: it's the oracle-checkable
   baseline, not the scale path.
 - LSH-bucketed (sign-random-projection) top-k: the 100 TB path. Vectors
-  hash to a bucket from the signs of H fixed pseudo-random projections
-  (deterministic, derived from dimension index — no RNG state to ship);
-  candidate pairs only form inside a bucket, turning O(N²) into
-  O(Σ bucket²). Same plan works partitioned: bucket is the shuffle key.
-- IVF-style variant: coarse k-means is overkill without an ML dep; the
-  bucketed path plays that role.
+  hash to a bucket in each of L independent tables from the signs of k
+  fixed pseudo-random projections (deterministic, integer-derived — no
+  RNG state to ship); candidate pairs only form inside a bucket, turning
+  O(N²) into O(Σ bucket²) per table. Bucket is the shuffle key, so the
+  same plan partitions across any cluster.
+- Multi-probe variant: the query side also probes each Hamming-1
+  neighbor bucket — higher recall per table, half the tables.
+- IVF variant: deterministic stride centroids (no k-means dep), home-cell
+  index + nprobe query cells — the data-adaptive complement to SRP.
+- All approximate variants are DuckDB-oracled bit-for-bit and carry
+  recall-report tests against the brute-force baseline.
 """
 
 from __future__ import annotations
