@@ -77,32 +77,91 @@ class CrawlScheduler:
         n_buckets: int = 64,
         robots_rules: DataFrame | None = None,
         round_seconds: int = 60,
+        auto_robots: bool = False,
     ):
         """``robots_rules`` (host, disallow_prefix, crawl_delay — see
         plans/robots.py) makes the scheduler obey disallow prefixes when
-        admitting candidates and Crawl-delay when budgeting hosts."""
+        admitting candidates and Crawl-delay when budgeting hosts.
+
+        ``auto_robots`` runs refresh_robots() at the start of every round:
+        hosts newly present in the frontier get their /robots.txt fetched
+        (through the same — here simulated — fetch machinery) and parsed,
+        and the resulting rules append to the persistent ``robots`` state
+        table, so a resumed run keeps exactly the rules it had fetched."""
         self.spark = spark
         self.store = store
         self.host_budget = host_budget
         self.salt_k = salt_k
+        self.round_seconds = round_seconds
         self.seen = BloomSeenSet(n_buckets)
         self.robots_rules = robots_rules
-        self._budget_table = None
-        if robots_rules is not None:
-            from .robots import budget_with_crawl_delay
+        self.auto_robots = auto_robots
 
-            self._budget_table = budget_with_crawl_delay(
-                robots_rules, host_budget, round_seconds
+    # -- robots ------------------------------------------------------------
+    def _stored_robots(self) -> DataFrame:
+        from .robots import ROBOTS_SCHEMA
+
+        return self.store.read(self.spark, "robots", ROBOTS_SCHEMA)
+
+    def _effective_rules(self) -> DataFrame | None:
+        """Constructor-supplied rules ∪ rules fetched during the crawl.
+        None when both are empty so the no-robots fast paths stay intact."""
+        stored = self._stored_robots()
+        if self.robots_rules is None:
+            return stored if not stored.isEmpty() else None
+        if stored.isEmpty():
+            return self.robots_rules
+        return self.robots_rules.unionByName(stored)
+
+    def refresh_robots(self) -> int:
+        """Fetch + parse /robots.txt for every frontier host that has no
+        rules yet (constructor-supplied or previously fetched), append the
+        delta to the persistent ``robots`` table. The production version
+        is one more ranged-fetch stage; the sandbox transport is the
+        deterministic simulated body (plans/robots.py). Returns the number
+        of newly-covered hosts."""
+        from .robots import bootstrap_robots
+
+        hosts = self.frontier().select("host").distinct()
+        known = self._stored_robots().select("host")
+        if self.robots_rules is not None:
+            known = known.unionByName(self.robots_rules.select("host"))
+        fresh_hosts = hosts.join(known.distinct(), "host", "left_anti").cache()
+        parsed = bootstrap_robots(fresh_hosts)
+        # allow-all hosts yield no parsed rows — record a sentinel
+        # (null disallow, delay 0) so they count as covered and are never
+        # re-fetched; robots_filter ignores null prefixes by construction
+        sentinels = fresh_hosts.join(
+            parsed.select("host").distinct(), "host", "left_anti"
+        ).select(
+            "host",
+            F.lit(None).cast("string").alias("disallow_prefix"),
+            F.lit(0).alias("crawl_delay"),
+        )
+        new_rules = parsed.unionByName(sentinels).cache()
+        n_hosts = fresh_hosts.count()
+        if n_hosts:
+            self.store.commit(
+                tables={},
+                appends={"robots": new_rules},
+                carry_forward=[
+                    "frontier", "url_seen", "blooms", "fetch_log", "metrics",
+                ],
+                meta={"round": self.round_no()},
             )
+        new_rules.unpersist()
+        fresh_hosts.unpersist()
+        return n_hosts
 
     def _admit(self, cand: DataFrame) -> DataFrame:
         """Apply robots disallow rules to candidate rows (no-op without
         rules)."""
-        if self.robots_rules is None:
+        rules = self._effective_rules()
+        if rules is None:
             return cand
         from .robots import robots_filter
 
-        return robots_filter(cand, self.robots_rules)
+        return robots_filter(cand, rules)
 
     # -- state accessors ---------------------------------------------------
     def frontier(self) -> DataFrame:
@@ -134,16 +193,31 @@ class CrawlScheduler:
             meta={"round": 0},
         )
 
+    def _budget_table_now(self) -> DataFrame | None:
+        rules = self._effective_rules()
+        if rules is None:
+            return None
+        from .robots import budget_with_crawl_delay
+
+        return budget_with_crawl_delay(rules, self.host_budget, self.round_seconds)
+
     def step(self) -> dict:
         """One scheduler round; commits a new snapshot; returns stats."""
+        if self.auto_robots:
+            self.refresh_robots()
         rnd = self.round_no() + 1
-        frontier = self.frontier()
+        # robots admission re-applies to the WHOLE frontier each round, not
+        # just newly harvested candidates: rules fetched after a URL entered
+        # the frontier (auto_robots) must still block its fetch, and blocked
+        # rows are evicted from the next frontier below rather than pinned
+        # forever
+        frontier = self._admit(self.frontier())
         seen_rows = self.url_seen()
         blooms = self.blooms()
 
         t0 = time.time()
         scheduled = politeness_schedule(
-            frontier, self.host_budget, self.salt_k, budget_table=self._budget_table
+            frontier, self.host_budget, self.salt_k, budget_table=self._budget_table_now()
         )
         fetched = simulate_fetch(scheduled).cache()
         n_fetched = fetched.count()
@@ -221,6 +295,7 @@ class CrawlScheduler:
             },
             upserts={"blooms": blooms_delta},
             partition_by={"url_seen": ["bucket"]},
+            carry_forward=["robots"],
             meta={"round": rnd},
         )
         fetched.unpersist()
@@ -269,7 +344,7 @@ class CrawlScheduler:
             tables={"url_seen": remaining},
             upserts={"blooms": rebuilt},
             partition_by={"url_seen": ["bucket"]},
-            carry_forward=["frontier", "fetch_log", "metrics"],
+            carry_forward=["frontier", "fetch_log", "metrics", "robots"],
             meta={"round": self.round_no()},
         )
 

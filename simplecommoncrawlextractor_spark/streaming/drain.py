@@ -49,7 +49,7 @@ def stream_documents_to_frontier(
         deduped = dedup_by_hash(merged).select(*frontier.columns)
         scheduler.store.commit(
             {"frontier": deduped},
-            carry_forward=["url_seen", "blooms", "fetch_log", "metrics"],
+            carry_forward=["url_seen", "blooms", "fetch_log", "metrics", "robots"],
             meta={"stream_batch": batch_id},
         )
 

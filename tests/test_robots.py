@@ -113,3 +113,67 @@ def test_scheduler_with_robots(spark, tmp_path):
     assert hot == 0  # fully disallowed
     slow = log.filter((F.col("host") == "seed103.example.com") & (F.col("round") == 1)).count()
     assert slow <= 2  # crawl-delay 30 -> budget 60/30 = 2
+
+
+def _private_seeds(spark, n=120):
+    """Seeds whose paths are /private/K — the synth robots body disallows
+    /private/ for every host with xxhash64(host) % 3 == 0."""
+    k = F.col("id")
+    host = F.concat(F.lit("rb"), (k % 24).cast("string"), F.lit(".example.com"))
+    return spark.range(n).select(
+        F.concat(F.lit("https://"), host, F.lit("/private/"), k.cast("string")).alias("url")
+    )
+
+
+def test_auto_robots_fetches_rules_and_blocks_frontier(spark, tmp_path):
+    """auto_robots: round 1 fetches /robots.txt for every frontier host
+    through the (simulated) fetch path; rules land in the persistent
+    ``robots`` table; URLs already in the frontier whose host disallows
+    their path are never scheduled and are evicted."""
+    from pyspark.sql import functions as F2
+
+    from simplecommoncrawlextractor_spark.plans import CrawlScheduler, StateStore
+    from simplecommoncrawlextractor_spark.plans.robots import ROBOTS_SCHEMA
+
+    store = StateStore(str(tmp_path / "ar"))
+    sched = CrawlScheduler(spark, store, host_budget=8, salt_k=4, n_buckets=8,
+                           auto_robots=True)
+    sched.bootstrap(_private_seeds(spark))
+    n_hosts_before = sched.frontier().select("host").distinct().count()
+    sched.step()
+
+    rules = store.read(spark, "robots", ROBOTS_SCHEMA)
+    assert rules.select("host").distinct().count() == n_hosts_before
+    banned = {
+        r["host"]
+        for r in rules.filter(F2.col("disallow_prefix") == "/private/").collect()
+    }
+    assert banned, "synth robots should disallow /private/ for ~1/3 of hosts"
+    fetched_hosts = {r["host"] for r in sched.crawl_order().collect()}
+    assert not (fetched_hosts & banned)
+    # blocked rows are evicted from the frontier, not pinned forever
+    assert sched.frontier().filter(F2.col("host").isin(list(banned))).count() == 0
+    # step's harvest hops to NEW hosts — those legitimately need a fetch;
+    # a second refresh with no new hosts in between must fetch nothing
+    sched.refresh_robots()
+    assert sched.refresh_robots() == 0
+
+
+def test_auto_robots_resume_preserves_rules_and_order(spark, tmp_path):
+    from simplecommoncrawlextractor_spark.plans import CrawlScheduler, StateStore
+
+    def run(root, split):
+        store = StateStore(root)
+        s1 = CrawlScheduler(spark, store, host_budget=4, salt_k=4, n_buckets=8,
+                            auto_robots=True)
+        s1.bootstrap(_private_seeds(spark))
+        for _ in range(split):
+            s1.step()
+        # resume with a FRESH scheduler over the same store
+        s2 = CrawlScheduler(spark, store, host_budget=4, salt_k=4, n_buckets=8,
+                            auto_robots=True)
+        for _ in range(3 - split):
+            s2.step()
+        return [tuple(r) for r in s2.crawl_order().collect()]
+
+    assert run(str(tmp_path / "a"), 1) == run(str(tmp_path / "b"), 3)
