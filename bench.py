@@ -64,10 +64,13 @@ def run_bench() -> dict:
         canonicalize_url(F.concat(F.lit("HTTP://W.Ex.COM:80/p/"), F.col("id").cast("string")))
     ).count()
     # warm the actual query shapes (codegen JIT + python workers for their
-    # UDF stages) against the tiny sf0.001 data — a plain count() would
-    # prune the CDX CASE derivations and warm nothing
+    # UDF stages) against the smallest sibling scale factor — a plain
+    # count() would prune the CDX CASE derivations and warm nothing
+    warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = SF_DIR
     for wq in ("a1_count_mimes", "frontier_schedule_batch", "ann_lsh_bucketed"):
-        queries[wq](spark, "/root/testdata/sf0.001").count()
+        queries[wq](spark, warm_dir).count()
     total = 0.0
     for name in BENCH_QUERIES:
         fn = queries[name]

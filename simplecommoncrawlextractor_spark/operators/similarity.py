@@ -115,6 +115,55 @@ def srp_bucket_assignments(
     return proj.groupBy(id_col, "tbl").agg(F.sum(bit).alias("bucket"))
 
 
+def _cap_groups(df: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
+    """Drop rows of groups larger than ``cap`` (degenerate LSH buckets /
+    IVF cells would otherwise go quadratic in the pair stage). The keep
+    set is one row per group — always broadcastable."""
+    if cap is None:
+        return df
+    sizes = df.groupBy(*keys).agg(F.count("*").alias("__n"))
+    keep = sizes.filter(F.col("__n") <= cap).select(*keys)
+    return df.join(F.broadcast(keep), keys, "left_semi")
+
+
+def _cosine_scored(
+    emb: DataFrame, cand: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id_a, id_b) candidates → (id_a, id_b, cos): vectors join back once
+    per side with per-vector norms precomputed (never re-folded per pair)."""
+    normed = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).select(id_col, "__v", _norm(F.col("__v")).alias("__n"))
+    ea = normed.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na"))
+    eb = normed.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+    )
+
+
+def _top1(scored: DataFrame) -> DataFrame:
+    """(id_a, id_b, cos) → one nn per id_a as a min_by aggregation
+    (map-side partial combine, not a window sort); the ordering (cos desc,
+    id asc) is the lexicographic key, and duplicate candidate pairs are
+    harmless by construction."""
+    return (
+        scored.groupBy("id_a")
+        .agg(
+            F.min_by(
+                F.col("id_b"),
+                F.struct((-F.col("cos")).alias("nc"), F.col("id_b").alias("i")),
+            ).alias("nn_id")
+        )
+        .select(F.col("id_a").alias("vec_id"), "nn_id")
+        .orderBy("vec_id")
+    )
+
+
 def ann_bucketed_top1(
     emb: DataFrame, dim: int = 16, n_planes: int = 4, n_tables: int = 8,
     max_bucket: int | None = 512,
@@ -132,57 +181,33 @@ def ann_bucketed_top1(
     deterministic, oracle-mirrorable; a pair sharing a smaller bucket in
     another table still surfaces. At production scale set max_bucket as a
     multiple of the expected bucket size N / 2^n_planes."""
-    buck = srp_bucket_assignments(emb, dim, n_planes, n_tables, id_col, vec_col)
-    if max_bucket is not None:
-        sizes = buck.groupBy("tbl", "bucket").agg(F.count("*").alias("__n"))
-        keep = sizes.filter(F.col("__n") <= max_bucket).select("tbl", "bucket")
-        # ≤ n_tables × 2^n_planes rows — always broadcastable
-        buck = buck.join(F.broadcast(keep), ["tbl", "bucket"], "left_semi")
+    buck = _cap_groups(
+        srp_bucket_assignments(emb, dim, n_planes, n_tables, id_col, vec_col),
+        ["tbl", "bucket"], max_bucket,
+    )
     a = buck.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
     b = buck.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
     # candidates stay slim (ids only) through the bucket self-join (NOT the
     # in-group pair-list trick dedup uses: ANN buckets are few and large,
     # so per-group pair materialization would skew one task per bucket —
-    # the join spreads pair generation across shuffle partitions) and the
-    # cross-table dedup, UNORDERED (id_a < id_b) — each pair pays the
-    # cosine once and is mirrored afterwards; vectors join back once per
-    # side, with per-vector norms precomputed (not re-folded per pair)
-    # NO distinct on candidates: a pair colliding in k tables costs k
-    # cosines, but the min_by top-1 is duplicate-invariant and skipping the
-    # dedup shuffle is cheaper than the repeated cosine work (measured ~1.5×
-    # at sf0.1; the oracle's DISTINCT yields the same result)
+    # the join spreads pair generation across shuffle partitions),
+    # UNORDERED (id_a < id_b) — each pair pays the cosine once and is
+    # mirrored afterwards. NO distinct: a pair colliding in k tables costs
+    # k cosines, but the min_by top-1 is duplicate-invariant and skipping
+    # the dedup shuffle is cheaper than the repeated cosine work (measured
+    # ~1.5× at sf0.1; the oracle's DISTINCT yields the same result)
     cand = (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    normed = emb.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-    ).select(id_col, "__v", _norm(F.col("__v")).alias("__n"))
-    ea = normed.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na"))
-    eb = normed.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb"))
-    scored = (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .select(
-            "id_a", "id_b",
-            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
-        )
-    )
+    scored = _cosine_scored(emb, cand, id_col, vec_col)
     directed = scored.unionByName(
         scored.select(
             F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "cos"
         )
     )
-    # top-1 as min_by aggregation (map-side partial combine), not a window
-    # sort: the ordering (cos desc, id asc) becomes the lexicographic key
-    return (
-        directed.groupBy("id_a")
-        .agg(F.min_by(F.col("id_b"), F.struct((-F.col("cos")).alias("nc"), F.col("id_b").alias("i"))).alias("nn_id"))
-        .select(F.col("id_a").alias("vec_id"), "nn_id")
-        .orderBy("vec_id")
-    )
+    return _top1(directed)
 
 
 def ann_multiprobe_top1(
@@ -199,11 +224,10 @@ def ann_multiprobe_top1(
     higher recall for similar candidate volume. Probing is query-side
     only: the index side stays one bucket per (id, tbl), so the join is
     still an equi-join, just on (tbl, probe = bucket)."""
-    buck = srp_bucket_assignments(emb, dim, n_planes, n_tables, id_col, vec_col)
-    if max_bucket is not None:
-        sizes = buck.groupBy("tbl", "bucket").agg(F.count("*").alias("__n"))
-        keep = sizes.filter(F.col("__n") <= max_bucket).select("tbl", "bucket")
-        buck = buck.join(F.broadcast(keep), ["tbl", "bucket"], "left_semi")
+    buck = _cap_groups(
+        srp_bucket_assignments(emb, dim, n_planes, n_tables, id_col, vec_col),
+        ["tbl", "bucket"], max_bucket,
+    )
     probes = F.array(
         F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
     )
@@ -216,26 +240,8 @@ def ann_multiprobe_top1(
         .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b")
     )
-    normed = emb.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    ).select(id_col, "__v", _norm(F.col("__v")).alias("__n"))
-    ea = normed.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na"))
-    eb = normed.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb"))
-    scored = (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .select(
-            "id_a", "id_b",
-            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
-        )
-    )
     # duplicates (pair found via several probes/tables) are min_by-invariant
-    return (
-        scored.groupBy("id_a")
-        .agg(F.min_by(F.col("id_b"), F.struct((-F.col("cos")).alias("nc"), F.col("id_b").alias("i"))).alias("nn_id"))
-        .select(F.col("id_a").alias("vec_id"), "nn_id")
-        .orderBy("vec_id")
-    )
+    return _top1(_cosine_scored(emb, cand, id_col, vec_col))
 
 
 def embedding_near_dups_bucketed(
@@ -250,11 +256,10 @@ def embedding_near_dups_bucketed(
     but for the near-dup regime (cos ≥ ~0.9, angle ≤ 26°) each 4-bit
     table collides with p^4 ≈ 0.55, so 8 tables catch ≈ 1-(0.45)^8 ≈ 0.998
     of true near-dup pairs; far better than its top-1 recall."""
-    buck = srp_bucket_assignments(emb, dim, n_planes, n_tables, id_col, vec_col)
-    if max_bucket is not None:
-        sizes = buck.groupBy("tbl", "bucket").agg(F.count("*").alias("__n"))
-        keep = sizes.filter(F.col("__n") <= max_bucket).select("tbl", "bucket")
-        buck = buck.join(F.broadcast(keep), ["tbl", "bucket"], "left_semi")
+    buck = _cap_groups(
+        srp_bucket_assignments(emb, dim, n_planes, n_tables, id_col, vec_col),
+        ["tbl", "bucket"], max_bucket,
+    )
     a = buck.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
     b = buck.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
     # distinct here (unlike top-1): every surviving pair is OUTPUT, so
@@ -265,15 +270,9 @@ def embedding_near_dups_bucketed(
         .select("id_a", "id_b")
         .distinct()
     )
-    normed = emb.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    ).select(id_col, "__v", _norm(F.col("__v")).alias("__n"))
-    ea = normed.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na"))
-    eb = normed.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb"))
     return (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .filter(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= threshold)
+        _cosine_scored(emb, cand, id_col, vec_col)
+        .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )
@@ -330,33 +329,15 @@ def ann_ivf_top1(
         F.col(id_col).alias("id_b"), "cell"
     )
     if max_cell is not None:
-        sizes = home.groupBy("cell").agg(F.count("*").alias("__n"))
-        keep = sizes.filter(F.col("__n") <= max_cell).select("cell")
-        home = home.join(F.broadcast(keep), "cell", "left_semi")
-        probes = probes.join(F.broadcast(keep), "cell", "left_semi")
+        home = _cap_groups(home, ["cell"], max_cell)
+        probes = probes.join(
+            F.broadcast(home.select("cell").distinct()), "cell", "left_semi"
+        )
     a = probes.select(F.col(id_col).alias("id_a"), "cell")
     cand = a.join(home, "cell").filter(F.col("id_a") != F.col("id_b")).select(
         "id_a", "id_b"
     )
-    normed = emb.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    ).select(id_col, "__v", _norm(F.col("__v")).alias("__n"))
-    ea = normed.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na"))
-    eb = normed.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb"))
-    scored = (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .select(
-            "id_a", "id_b",
-            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
-        )
-    )
-    return (
-        scored.groupBy("id_a")
-        .agg(F.min_by(F.col("id_b"), F.struct((-F.col("cos")).alias("nc"), F.col("id_b").alias("i"))).alias("nn_id"))
-        .select(F.col("id_a").alias("vec_id"), "nn_id")
-        .orderBy("vec_id")
-    )
+    return _top1(_cosine_scored(emb, cand, id_col, vec_col))
 
 
 def embedding_near_dups(

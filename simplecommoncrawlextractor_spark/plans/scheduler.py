@@ -104,9 +104,17 @@ class CrawlScheduler:
         return self.store.read(self.spark, "robots", ROBOTS_SCHEMA)
 
     def _effective_rules(self) -> DataFrame | None:
-        """Constructor-supplied rules ∪ rules fetched during the crawl.
-        None when both are empty so the no-robots fast paths stay intact."""
-        stored = self._stored_robots()
+        """Constructor-supplied rules ∪ rules fetched during the crawl,
+        MINUS the allow-all sentinel rows (null disallow, zero delay) —
+        sentinels exist only so covered hosts aren't re-fetched; letting
+        them into the admission/budget joins would grow the broadcast side
+        by one row per host ever crawled. Rules stay one row per host THAT
+        PUBLISHES rules; at a scale where even that outgrows a broadcast,
+        switch robots_filter's join to a shuffle join (same semantics).
+        None when empty so the no-robots fast paths stay intact."""
+        stored = self._stored_robots().filter(
+            F.col("disallow_prefix").isNotNull() | (F.col("crawl_delay") > 0)
+        )
         if self.robots_rules is None:
             return stored if not stored.isEmpty() else None
         if stored.isEmpty():
@@ -153,10 +161,15 @@ class CrawlScheduler:
         fresh_hosts.unpersist()
         return n_hosts
 
-    def _admit(self, cand: DataFrame) -> DataFrame:
+    def _admit(
+        self, cand: DataFrame, rules: DataFrame | None = None, resolved: bool = False
+    ) -> DataFrame:
         """Apply robots disallow rules to candidate rows (no-op without
-        rules)."""
-        rules = self._effective_rules()
+        rules). Callers touching several frames in one round resolve the
+        rules ONCE and pass them in (``resolved=True``) — each
+        _effective_rules() call costs a state read + an isEmpty job."""
+        if not resolved:
+            rules = self._effective_rules()
         if rules is None:
             return cand
         from .robots import robots_filter
@@ -193,8 +206,7 @@ class CrawlScheduler:
             meta={"round": 0},
         )
 
-    def _budget_table_now(self) -> DataFrame | None:
-        rules = self._effective_rules()
+    def _budget_table_from(self, rules: DataFrame | None) -> DataFrame | None:
         if rules is None:
             return None
         from .robots import budget_with_crawl_delay
@@ -206,18 +218,21 @@ class CrawlScheduler:
         if self.auto_robots:
             self.refresh_robots()
         rnd = self.round_no() + 1
-        # robots admission re-applies to the WHOLE frontier each round, not
+        # rules resolve ONCE per round and feed both admission passes and
+        # the budget table. Admission re-applies to the WHOLE frontier, not
         # just newly harvested candidates: rules fetched after a URL entered
         # the frontier (auto_robots) must still block its fetch, and blocked
         # rows are evicted from the next frontier below rather than pinned
         # forever
-        frontier = self._admit(self.frontier())
+        rules = self._effective_rules()
+        frontier = self._admit(self.frontier(), rules, resolved=True)
         seen_rows = self.url_seen()
         blooms = self.blooms()
 
         t0 = time.time()
         scheduled = politeness_schedule(
-            frontier, self.host_budget, self.salt_k, budget_table=self._budget_table_now()
+            frontier, self.host_budget, self.salt_k,
+            budget_table=self._budget_table_from(rules),
         )
         fetched = simulate_fetch(scheduled).cache()
         n_fetched = fetched.count()
@@ -262,7 +277,7 @@ class CrawlScheduler:
         # harvest next-round candidates, dedup vs (updated) seen set
         t1 = time.time()
         outlinks = synthetic_outlinks(fetched)
-        cand = self._admit(canonical_candidates(outlinks))
+        cand = self._admit(canonical_candidates(outlinks), rules, resolved=True)
         new_cand = self.seen.probe(cand, seen2, blooms2)
         # frontier minus the scheduled rows, plus the new candidates;
         # also drop any frontier row that is now seen (scheduled is a subset)
