@@ -275,12 +275,20 @@ class StateStore:
         os.makedirs(root, exist_ok=True)
 
     # -- manifest ---------------------------------------------------------
-    def _manifest_path(self) -> str:
-        return os.path.join(self.root, self.MANIFEST)
+    def _manifest_path(self, snapshot: int | None = None) -> str:
+        if snapshot is None:
+            return os.path.join(self.root, self.MANIFEST)
+        return os.path.join(self.root, f"manifest-{int(snapshot)}.json")
 
-    def manifest(self) -> dict:
-        p = self._manifest_path()
+    def manifest(self, snapshot: int | None = None) -> dict:
+        """Current manifest, or a historical one (time travel): every
+        commit also writes an immutable ``manifest-{sid}.json``, and table
+        version dirs are never rewritten, so any past snapshot stays
+        readable — the Iceberg snapshot-log semantics."""
+        p = self._manifest_path(snapshot)
         if not os.path.exists(p):
+            if snapshot is not None:
+                raise FileNotFoundError(f"no snapshot {snapshot} in {self.root}")
             return {"snapshot": 0, "tables": {}, "meta": {}}
         with open(p) as f:
             return json.load(f)
@@ -288,9 +296,35 @@ class StateStore:
     def snapshot_id(self) -> int:
         return int(self.manifest()["snapshot"])
 
+    def snapshots(self) -> list[int]:
+        """All retained snapshot ids, ascending."""
+        out = []
+        for fn in os.listdir(self.root):
+            if fn.startswith("manifest-") and fn.endswith(".json"):
+                out.append(int(fn[len("manifest-"):-len(".json")]))
+        return sorted(out)
+
+    def rollback(self, snapshot: int) -> int:
+        """Make ``snapshot`` the current state (atomic manifest swap, like
+        Iceberg's rollback-to-snapshot). Later snapshots' files stay on
+        disk and readable; a subsequent commit branches the history —
+        commits after a rollback write manifest-{N}.json for NEW ids above
+        the rolled-back one, replacing the abandoned lineage."""
+        m = self.manifest(snapshot)
+        tmp = self._manifest_path() + f".tmp.rb{snapshot}"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path())
+        return int(m["snapshot"])
+
     # -- read -------------------------------------------------------------
-    def read(self, spark: SparkSession, name: str, schema: str) -> DataFrame:
-        rel = self.manifest()["tables"].get(name)
+    def read(
+        self, spark: SparkSession, name: str, schema: str,
+        snapshot: int | None = None,
+    ) -> DataFrame:
+        """Read a table at the current snapshot, or at a historical one
+        (``snapshot=`` time travel)."""
+        rel = self.manifest(snapshot)["tables"].get(name)
         if rel is None:
             return spark.createDataFrame([], schema)
         if isinstance(rel, dict):
@@ -364,6 +398,9 @@ class StateStore:
             "tables": new_tables,
             "meta": {**m.get("meta", {}), **(meta or {}), "committed_at": time.time()},
         }
+        # immutable snapshot-log entry first, then the atomic current swap
+        with open(self._manifest_path(sid), "w") as f:
+            json.dump(manifest, f, indent=1)
         tmp = self._manifest_path() + f".tmp.{sid}"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
