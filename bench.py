@@ -34,10 +34,13 @@ BENCH_QUERIES = [
     "f10_downsample_strata",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "ann_lsh_bucketed",
+    "ann_multiprobe_top1",
     "text_quality",
     "events_sessionize",
     "frontier_schedule_batch",
+    "s9_wiki_external_links",
 ]
 
 
