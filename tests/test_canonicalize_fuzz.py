@@ -53,3 +53,45 @@ def test_vectorized_matches_reference(spark):
         (c, g, _canon_one(c)) for c, g in zip(cases, got) if g != _canon_one(c)
     ]
     assert not bad, bad[:5]
+
+
+def test_canonicalization_idempotent_hypothesis():
+    """canon(canon(u)) == canon(u) for arbitrary URL-ish strings — the RFC
+    3986 normalization fixpoint property. Runs on the reference tier
+    (_canon_one) directly; the cross-tier fuzz above extends it to the
+    vectorized tiers."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    seg = st.text(
+        alphabet="abcXYZ09._~-%25%2F%7E/.?&=:#",
+        min_size=0, max_size=24,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        scheme=st.sampled_from(["http", "https", "HTTP", "ftp"]),
+        host=st.sampled_from(["ex.com", "EX.com.", "a.b.c", "ex.com:80", "ex.com:8443"]),
+        path=seg,
+        q=seg,
+    )
+    def check(scheme, host, path, q):
+        u = f"{scheme}://{host}/{path}?{q}"
+        once = _canon_one(u)
+        if once is not None:
+            twice = _canon_one(once)
+            assert twice == once, (u, once, twice)
+
+    check()
+
+
+def test_vectorized_idempotent_on_fuzz_corpus(spark):
+    """The full tiered UDF is idempotent over the fuzz corpus: feeding its
+    own output back yields the same strings."""
+    cases = [c for c in _gen_cases(n=300, seed=11)]
+    df = spark.createDataFrame([(c,) for c in cases], "v string")
+    once = [r[0] for r in df.select(canonicalize_url("v")).collect()]
+    kept = [u for u in once if u is not None]
+    df2 = spark.createDataFrame([(u,) for u in kept], "v string")
+    twice = [r[0] for r in df2.select(canonicalize_url("v")).collect()]
+    assert twice == kept
