@@ -121,16 +121,22 @@ class CrawlScheduler:
             return self.robots_rules
         return self.robots_rules.unionByName(stored)
 
-    def refresh_robots(self) -> int:
+    def refresh_robots(self, extra_hosts: DataFrame | None = None) -> int:
         """Fetch + parse /robots.txt for every frontier host that has no
         rules yet (constructor-supplied or previously fetched), append the
         delta to the persistent ``robots`` table. The production version
         is one more ranged-fetch stage; the sandbox transport is the
-        deterministic simulated body (plans/robots.py). Returns the number
-        of newly-covered hosts."""
+        deterministic simulated body (plans/robots.py). ``extra_hosts``
+        (one ``host`` column) covers hosts not yet IN the frontier — the
+        streaming drain passes its batch's candidate hosts so their rules
+        exist before admission. Returns the number of newly-covered
+        hosts."""
         from .robots import bootstrap_robots
 
-        hosts = self.frontier().select("host").distinct()
+        hosts = self.frontier().select("host")
+        if extra_hosts is not None:
+            hosts = hosts.unionByName(extra_hosts.select("host"))
+        hosts = hosts.distinct()
         known = self._stored_robots().select("host")
         if self.robots_rules is not None:
             known = known.unionByName(self.robots_rules.select("host"))

@@ -39,8 +39,13 @@ def stream_documents_to_frontier(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # robots admission runs here too — the streaming path must not
         # smuggle disallowed URLs past the filter the batch path
-        # (CrawlScheduler.step) applies to every harvested candidate
-        cand = scheduler._admit(canonical_candidates(harvest_outlinks(batch_df)))
+        # (CrawlScheduler.step) applies to every harvested candidate; with
+        # auto_robots, rules for hosts FIRST seen in this batch are fetched
+        # before admission (they aren't in the frontier yet)
+        raw_cand = canonical_candidates(harvest_outlinks(batch_df))
+        if scheduler.auto_robots:
+            scheduler.refresh_robots(extra_hosts=raw_cand.select("host"))
+        cand = scheduler._admit(raw_cand)
         seen_rows = scheduler.url_seen()
         blooms = scheduler.blooms()
         new_cand = scheduler.seen.probe(cand, seen_rows, blooms)

@@ -154,3 +154,50 @@ def test_streaming_drain_obeys_robots(spark, tmp_path):
     q.awaitTermination(120)
     in_frontier = sched.frontier().filter(F.col("host").isin(banned)).count()
     assert in_frontier == 0, f"{in_frontier} disallowed rows entered via streaming"
+
+
+def test_streaming_drain_auto_robots_covers_new_hosts(spark, tmp_path):
+    """With auto_robots and NO pre-seeded rules, hosts first seen in a
+    streamed batch get their robots fetched before admission: /private/
+    candidates of disallowed hosts never reach the frontier."""
+    from pyspark.sql import functions as F
+
+    from simplecommoncrawlextractor_spark.streaming import (
+        stream_documents_to_frontier,
+    )
+
+    # documents whose text spans carry /private/ outlinks on 16 hosts
+    k = F.col("id")
+    url = F.concat(
+        F.lit("https://sr"), (k % 16).cast("string"),
+        F.lit(".example.com/private/"), k.cast("string"),
+    )
+    docs = spark.range(64).select(
+        F.concat(F.lit("doc"), k.cast("string")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(F.lit("see "), url).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    src = str(tmp_path / "drops")
+    docs.write.mode("overwrite").parquet(src)
+
+    store = StateStore(str(tmp_path / "state"))
+    sched = CrawlScheduler(spark, store, host_budget=4, salt_k=4, n_buckets=8,
+                           auto_robots=True)
+    sched.bootstrap(seed_frontier(spark, n=5))
+    q = stream_documents_to_frontier(spark, sched, src, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    from simplecommoncrawlextractor_spark.plans.robots import ROBOTS_SCHEMA
+    rules = store.read(spark, "robots", ROBOTS_SCHEMA)
+    banned = {r["host"] for r in rules.filter(
+        (F.col("disallow_prefix") == "/private/") & F.col("host").startswith("sr")
+    ).collect()}
+    assert banned, "some streamed hosts must publish /private/ disallows"
+    bad = sched.frontier().filter(F.col("host").isin(list(banned))).count()
+    assert bad == 0, f"{bad} disallowed streamed candidates entered the frontier"
