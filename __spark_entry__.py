@@ -946,7 +946,45 @@ SELECT id_a AS vec_id, id_b AS nn_id FROM (
 ) WHERE rn = 1 ORDER BY vec_id
 """.strip()
 
-    # dedup_simhash, ann_lsh_bucketed, frontier_* : rows-only (xxhash64 /
-    # pandas-UDF canonicalization are not DuckDB-expressible); covered by
+    # frontier_harvest_by_host: the synthetic span corpus is generated from
+    # documents.doc_id (sources/synth.py:56-92), so the oracle REPLAYS THE
+    # GENERATOR — enumerating exactly the URLs each doc embeds, applying
+    # the canonical forms by construction (query sort, scheme/host
+    # lowercase, default-port/fragment strip, http: on protocol-relative,
+    # >3000-char drop) and deduping. Any bug in extract_urls,
+    # canonicalize_url, the filter chain, or dedup_by_hash breaks the
+    # per-host counts. (frontier_schedule_batch stays rows-only: its
+    # priority/rank derive from xxhash64, which DuckDB lacks.)
+    o["frontier_harvest_by_host"] = """
+WITH d AS (SELECT doc_id AS k FROM documents),
+urls AS (
+  SELECT 'site' || CAST(k%50 AS VARCHAR) || '.example.org' AS host,
+         'https://site' || CAST(k%50 AS VARCHAR) || '.example.org/page/'
+           || CAST(k AS VARCHAR) || '?a=1&b=2' AS url_canon
+  FROM d
+  UNION ALL
+  SELECT 'cdn' || CAST(k%11 AS VARCHAR) || '.example.net',
+         'http://cdn' || CAST(k%11 AS VARCHAR) || '.example.net/asset/a'
+           || CAST(k AS VARCHAR) || '.js'
+  FROM d
+  UNION ALL
+  SELECT 'site' || CAST(k%37 AS VARCHAR) || '.example.com',
+         'http://site' || CAST(k%37 AS VARCHAR) || '.example.com/Index'
+           || CAST(k AS VARCHAR) || '.HTML'
+  FROM d WHERE k%4 != 0 AND k%7 != 0
+  UNION ALL
+  SELECT 'site' || CAST((k+1)%50 AS VARCHAR) || '.example.org',
+         'https://site' || CAST((k+1)%50 AS VARCHAR) || '.example.org/page/'
+           || CAST(k+1 AS VARCHAR) || '?a=1&b=2'
+  FROM d WHERE k%4 != 0 AND k%7 != 0
+),
+dedup AS (SELECT DISTINCT host, url_canon FROM urls)
+SELECT host, count(*) AS cnt FROM dedup GROUP BY 1 ORDER BY cnt DESC, host
+""".strip()
+
+    # dedup_simhash, frontier_schedule_batch, scheduler_one_round,
+    # extraction/multimodal, s6 download / s7 sizes,
+    # dedup_minhash_lsh_fast, text_rolling_fingerprint: rows-only
+    # (xxhash64 / binary payloads are not DuckDB-expressible); covered by
     # pytest golden + equivalence tests.
     return o
