@@ -42,6 +42,31 @@ def _pairs_from_ids(ids_col) -> F.Column:
     )
 
 
+def _bounded_group_pairs(grp: DataFrame, keys: list[str], max_group: int | None) -> DataFrame:
+    """One row per in-group pair ``p = (id_a, id_b)`` from a grouped frame
+    carrying an ``ids`` array column.
+
+    With a cap: oversize groups are skipped whole, then pairs come from the
+    collected list — the upstream pipeline is evaluated ONCE and the pair
+    mass per row is bounded by cap²/2. Without a cap the flatten would
+    materialize a degenerate group's quadratic pair set inside a single
+    row buffer (executor OOM), so the uncapped path explodes back to rows
+    and self-joins on the group key instead: pairs spread across shuffle
+    partitions, at the cost of evaluating the grouped subtree once per
+    join branch. Uncapped is for bounded fixtures/tests; production paths
+    keep their caps."""
+    if max_group is not None:
+        g = grp.filter((F.size("ids") >= 2) & (F.size("ids") <= max_group))
+        return g.select(F.explode(_pairs_from_ids(F.col("ids"))).alias("p"))
+    ex = grp.filter(F.size("ids") >= 2).select(*keys, F.explode("ids").alias("x"))
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(b, keys)
+        .filter(F.col("a.x") < F.col("b.x"))
+        .select(F.struct(F.col("a.x").alias("id_a"), F.col("b.x").alias("id_b")).alias("p"))
+    )
+
+
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact-duplicate groups: one row per distinct normalized-text
     fingerprint with the group size and the representative (min id) —
@@ -164,13 +189,11 @@ def minhash_lsh_candidates(
     grp = banded.groupBy("band", "band_key").agg(
         F.collect_list(id_col).alias("ids")
     )
-    if max_band_bucket is not None:
-        grp = grp.filter(F.size("ids") <= max_band_bucket)
-    # pairs generated from the grouped list — evaluates the shingle→md5→
-    # band pipeline ONCE (a self-join's two branches would run it twice)
+    # pairs generated from the grouped list when capped — evaluates the
+    # shingle→md5→band pipeline ONCE (a self-join's two branches run it
+    # twice); uncapped mode self-joins so pairs never pile into one row
     return (
-        grp.filter(F.size("ids") >= 2)
-        .select(F.explode(_pairs_from_ids(F.col("ids"))).alias("p"))
+        _bounded_group_pairs(grp, ["band", "band_key"], max_band_bucket)
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
         .orderBy("id_a", "id_b")
@@ -212,13 +235,10 @@ def ngram_jaccard_pairs(
             F.struct(F.col(id_col).alias("i"), F.col("sz").alias("s"))
         ).alias("ids")
     )
-    if max_doc_freq is not None:
-        grp = grp.filter(F.size("ids") <= max_doc_freq)
     # struct elements sort by (i, s) = id-first, so pair order matches the
     # plain-id version
     inter = (
-        grp.filter(F.size("ids") >= 2)
-        .select(F.explode(_pairs_from_ids(F.col("ids"))).alias("p"))
+        _bounded_group_pairs(grp, ["shingle"], max_doc_freq)
         .groupBy(F.col("p.id_a.i").alias("id_a"), F.col("p.id_b.i").alias("id_b"))
         .agg(
             F.count("*").alias("inter"),
@@ -257,26 +277,56 @@ def dedup_skew_report(
     )
 
 
-def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per doc: per-token xxhash64 → per-bit ±1 votes →
-    sign. All JVM-side: explode tokens, unpack bits with shiftright/&1,
-    sum votes per (doc, bit), reassemble with bit shifts."""
+def simhash64(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """64-bit SimHash per doc: per-token hash → per-bit ±1 votes → sign.
+    All JVM-side: explode tokens, unpack bits with shiftright/&1, sum
+    votes per (doc, bit), reassemble with bit shifts.
+
+    hash_mode:
+    - 'xxhash64' — the production path (one JVM hash call per token).
+    - 'md5hex' — the oracle/gate path: bit b of the token hash is bit
+      (b%4) of hex digit (b//4) of md5(tok), which DuckDB replays exactly
+      (same split as MinHash's md5-vs-xxhash64 modes). Costlier (a conv
+      per bit) but the banding/vote/segment topology is identical.
+    """
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     )
-    h = toks.select(F.col(id_col), F.xxhash64("tok").alias("h"))
-    bits = h.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-        F.col("h"),
-    ).select(
-        F.col(id_col),
-        "bit",
-        # shiftright's Python API needs a literal shift — use the SQL form,
-        # which accepts a column shift amount
-        (F.expr("shiftright(h, bit) & 1") * 2 - 1).alias("vote"),
-    )
+    if hash_mode == "md5hex":
+        h = toks.select(F.col(id_col), F.md5("tok").alias("hx"))
+        bits = h.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+            F.col("hx"),
+        ).select(
+            F.col(id_col),
+            "bit",
+            (
+                F.expr(
+                    "shiftright(cast(conv(substring(hx, cast(bit / 4 as int) + 1, 1), 16, 10) as int), "
+                    "cast(bit % 4 as int)) & 1"
+                )
+                * 2
+                - 1
+            ).alias("vote"),
+        )
+    else:
+        h = toks.select(F.col(id_col), F.xxhash64("tok").alias("h"))
+        bits = h.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+            F.col("h"),
+        ).select(
+            F.col(id_col),
+            "bit",
+            # shiftright's Python API needs a literal shift — use the SQL
+            # form, which accepts a column shift amount
+            (F.expr("shiftright(h, bit) & 1") * 2 - 1).alias("vote"),
+        )
     votes = bits.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
     return (
         votes.withColumn(
@@ -290,11 +340,24 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def simhash_near_dups(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+def simhash_near_dups(
+    docs: DataFrame, max_hamming: int = 3,
+    max_segment_bucket: int | None = 256, **kw,
+) -> DataFrame:
     """SimHash near-dup pairs via 4-segment pigeonhole: split the 64-bit
     hash into 4×16-bit segments; any pair within hamming distance 3 shares
-    at least one exact segment → equi-join on (segment_id, segment_value),
-    verify hamming on candidates with bit_count. No N² stage."""
+    at least one exact segment → group on (segment_id, segment_value),
+    verify hamming on candidates with bit_count. No N² stage.
+
+    ``max_segment_bucket`` bounds the candidate generation the same way
+    the MinHash band cap does: a degenerate pile (10^6 empty/boilerplate
+    docs sharing one simhash) would make a single 16-bit segment value
+    quadratic. Over-cap segment buckets are skipped whole — exact twins
+    that large belong to exact_dedup anyway, and a genuine near-dup pair
+    usually still collides in another, smaller segment bucket. Use
+    simhash_skew_report to see what the cap drops. Grouping (instead of
+    the previous self-join) also evaluates the token→vote→simhash
+    pipeline once rather than once per join branch."""
     id_col = kw.get("id_col", "doc_id")
     sh = simhash64(docs, **kw)
     seg = sh.select(
@@ -304,15 +367,46 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
     ).withColumn(
         "seg_val", F.expr("shiftright(simhash, seg * 16) & 65535")
     )
-    a = seg.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "seg", "seg_val")
-    b = seg.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "seg", "seg_val")
+    grp = seg.groupBy("seg", "seg_val").agg(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("h"))
+        ).alias("ids")
+    )
     cand = (
-        a.join(b, ["seg", "seg_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "h_a", "h_b")
+        _bounded_group_pairs(grp, ["seg", "seg_val"], max_segment_bucket)
+        .select(
+            F.col("p.id_a.i").alias("id_a"),
+            F.col("p.id_b.i").alias("id_b"),
+            F.col("p.id_a.h").alias("h_a"),
+            F.col("p.id_b.h").alias("h_b"),
+        )
         .distinct()
     )
     ham = cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
     return ham.filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     ).orderBy("id_a", "id_b")
+
+
+def simhash_skew_report(
+    docs: DataFrame, max_segment_bucket: int = 256, **kw,
+) -> DataFrame:
+    """What the SimHash segment cap drops: one row per over-cap
+    (segment, value) bucket with its size and the pair mass it would have
+    injected (n·(n−1)/2) — the simhash analog of dedup_skew_report, so
+    truncation stays visible, never silent."""
+    id_col = kw.get("id_col", "doc_id")
+    seg = simhash64(docs, **kw).select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("seg"),
+        F.col("simhash"),
+    ).withColumn("seg_val", F.expr("shiftright(simhash, seg * 16) & 65535"))
+    n = seg.groupBy("seg", "seg_val").agg(F.count("*").alias("bucket_size"))
+    return (
+        n.filter(F.col("bucket_size") > max_segment_bucket)
+        .withColumn(
+            "pairs_avoided",
+            (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("long"),
+        )
+        .orderBy(F.desc("bucket_size"), "seg", "seg_val")
+    )

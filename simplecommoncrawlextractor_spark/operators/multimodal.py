@@ -47,10 +47,13 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, feat
 
 
-def _pixel_features(px: np.ndarray, width: int, height: int) -> np.ndarray:
+def _pixel_features(px: np.ndarray, width: int, height: int, maxval: int = 255) -> np.ndarray:
     """8-dim feature from an (n, 3) RGB pixel array: per-channel means,
-    gray std/min/max, aspect, bias — all float32-deterministic."""
-    f = px.astype(np.float32) / 255.0
+    gray std/min/max, aspect, bias — all float32-deterministic.
+    ``maxval`` is the sample ceiling (255 for BMP/PNG; PPM declares its
+    own) so a P6 with maxval 15 normalizes to the same [0,1] range instead
+    of coming out ~maxval/255 too dark."""
+    f = px.astype(np.float32) / np.float32(maxval)
     gray = f.mean(axis=1)
     return np.array(
         [
@@ -129,7 +132,7 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     if n - i < need:
         return None
     px = np.frombuffer(payload, dtype=np.uint8, count=need, offset=i).reshape(-1, 3)
-    return width, height, _pixel_features(px, width, height)
+    return width, height, _pixel_features(px, width, height, maxval=maxval)
 
 
 def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:

@@ -285,7 +285,7 @@ class StateStore:
         commit also writes an immutable ``manifest-{sid}.json``, and table
         version dirs are never rewritten, so any past snapshot stays
         readable — the Iceberg snapshot-log semantics."""
-        p = self._manifest_path(snapshot)
+        p = self._manifest_path(snapshot)  # sids never reused (see commit)
         if not os.path.exists(p):
             if snapshot is not None:
                 raise FileNotFoundError(f"no snapshot {snapshot} in {self.root}")
@@ -368,7 +368,14 @@ class StateStore:
         map redirects readers), carry forward unchanged tables, then
         atomically swap the manifest."""
         m = self.manifest()
-        sid = int(m["snapshot"]) + 1
+        # sid = above EVERY retained snapshot, not current+1: after a
+        # rollback the current snapshot is older than the abandoned
+        # lineage's, and reusing an abandoned sid would overwrite its
+        # v{sid}/d{sid} data dirs while manifest-{sid}.json still points
+        # at them — a time-travel read mid-overwrite would see torn
+        # parquet. Allocating past max(snapshots) keeps every historical
+        # manifest's dirs immutable (the Iceberg snapshot-id contract).
+        sid = max([int(m["snapshot"])] + self.snapshots()) + 1
         new_tables: dict[str, str | list[str] | dict] = {}
         for name in carry_forward:
             if name in m["tables"]:

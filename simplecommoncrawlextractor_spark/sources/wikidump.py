@@ -116,5 +116,12 @@ def wiki_external_links(
     kept = raw.select(cleaned.alias("url")).filter(
         F.col("url").isNotNull() & (F.trim(F.col("url")) != "")
     )
-    host = F.regexp_extract(F.col("url"), r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]+)", 1)
+    # Java URI.getHost() drops the userinfo@ part of the authority and the
+    # :port (ExternalLinkExtractor.java:148-151) — the optional [^@/]*@
+    # group mirrors that for the common cases (userinfo may carry ':pw';
+    # a '/' before the '@' means the '@' belongs to the path, not
+    # userinfo, and must not be stripped)
+    host = F.regexp_extract(
+        F.col("url"), r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^@/]*@)?([^/:?#]+)", 1
+    )
     return kept.select(host.alias("host"), F.col("url"))

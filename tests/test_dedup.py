@@ -107,3 +107,60 @@ def test_xxhash_mode_matches_md5_on_true_dups(spark):
     for must in [("d0000", "d0001"), ("d0002", "d0003")]:
         assert must in md5_pairs
         assert must in xx_pairs
+
+
+def test_simhash_segment_cap_skips_identical_pile(spark):
+    """1000 byte-identical docs share all four simhash segments → four
+    buckets of 1000; with the cap they produce NO candidate pairs (exact
+    dedup owns identical piles) while a distinct near-dup pair in normal
+    buckets is still found, and the run stays bounded."""
+    from simplecommoncrawlextractor_spark.operators.dedup import (
+        simhash_near_dups,
+        simhash_skew_report,
+    )
+
+    pile = spark.range(1000).select(
+        F.concat(F.lit("p"), F.format_string("%04d", F.col("id"))).alias("doc_id"),
+        F.lit("spam spam spam wonderful spam lovely spam baked beans spam").alias("text"),
+    )
+    pair = spark.createDataFrame(
+        [
+            ("x1", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            ("x2", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+        "doc_id string, text string",
+    )
+    docs = pile.unionByName(pair)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dups(docs, max_hamming=8, max_segment_bucket=64).collect()
+    }
+    assert got == {("x1", "x2")}
+    # the report names the degenerate buckets and their avoided pair mass
+    rep = simhash_skew_report(docs, max_segment_bucket=64).collect()
+    assert any(r["bucket_size"] >= 1000 for r in rep)
+    assert all(
+        r["pairs_avoided"] == r["bucket_size"] * (r["bucket_size"] - 1) // 2 for r in rep
+    )
+    # uncapped mode (self-join fallback) really does produce the quadratic
+    # pair set the cap avoids — on a small slice so the test stays fast
+    small = pile.filter(F.col("doc_id") < "p0050").unionByName(pair)
+    uncapped = simhash_near_dups(small, max_hamming=8, max_segment_bucket=None).count()
+    assert uncapped == 50 * 49 // 2 + 1
+
+
+def test_simhash_md5hex_mode_matches_xxhash_on_true_dups(spark):
+    """Identical token multisets hash to identical simhashes under ANY
+    per-token hash: both modes must emit every true-duplicate pair with
+    hamming 0 (the md5hex mode exists so the DuckDB gate oracle can
+    replay the bit math exactly)."""
+    from simplecommoncrawlextractor_spark.operators.dedup import simhash_near_dups
+
+    docs = _corpus(spark).filter(F.col("doc_id") < "d0030").cache()
+    for mode in ("xxhash64", "md5hex"):
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_near_dups(docs, max_hamming=8, hash_mode=mode).collect()
+        }
+        assert got.get(("d0000", "d0001")) == 0, mode
+        assert got.get(("d0002", "d0003")) == 0, mode

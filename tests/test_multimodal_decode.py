@@ -77,3 +77,16 @@ def test_bmp_compressed_or_weird_bpp_rejected():
     struct.pack_into("<I", payload, 30, 1)  # BI_RLE8 compression
     w, _, _ = decode_image(bytes(payload))
     assert w == _decode_image_stub(bytes(payload))[0]
+
+
+def test_ppm_maxval_below_255_normalizes_correctly():
+    """A P6 with maxval 15 must yield the SAME normalized statistics as
+    the equivalent maxval-255 image — samples are scaled by the declared
+    maxval, not assumed 8-bit full-range."""
+    body15 = bytes([15, 0, 0] * 4)  # pure red at maxval 15
+    w, h, feat = decode_image(b"P6\n2 2\n15\n" + body15)
+    assert (w, h) == (2, 2)
+    assert np.allclose(feat[:3], [1.0, 0.0, 0.0], atol=1e-6)
+    body255 = bytes([255, 0, 0] * 4)
+    _, _, feat255 = decode_image(b"P6\n2 2\n255\n" + body255)
+    assert np.allclose(feat, feat255, atol=1e-6)

@@ -291,3 +291,21 @@ def test_snapshot_time_travel_and_rollback_replay(spark, tmp_path):
     sched2.step()
     replayed = [tuple(r) for r in sched2.crawl_order().collect()]
     assert replayed == original_order
+
+
+def test_rollback_commit_never_reuses_abandoned_sids(spark, tmp_path):
+    """Commits after a rollback allocate sids ABOVE every retained
+    snapshot: reusing an abandoned lineage's sid would overwrite its data
+    dirs while manifest-{sid}.json still points at them, so a concurrent
+    time-travel read could observe torn parquet."""
+    store = StateStore(str(tmp_path / "ns"))
+    s1 = store.commit({"t": spark.range(3).select(F.col("id").alias("x"))})
+    s2 = store.commit({"t": spark.range(5).select(F.col("id").alias("x"))})
+    store.rollback(s1)
+    s3 = store.commit({"t": spark.range(7).select(F.col("id").alias("x"))})
+    assert s3 > s2, f"sid {s3} reuses/undershoots the abandoned lineage (max was {s2})"
+    # every snapshot — including the abandoned branch — stays readable
+    assert store.read(spark, "t", "x long", snapshot=s1).count() == 3
+    assert store.read(spark, "t", "x long", snapshot=s2).count() == 5
+    assert store.read(spark, "t", "x long", snapshot=s3).count() == 7
+    assert store.read(spark, "t", "x long").count() == 7

@@ -108,3 +108,18 @@ def test_mapper_chain_rule_order_capture_then_filter(spark):
     )
     got = [r[0] for r in df.select(apply_mapper_chain(F.col("u"), rules)).collect()]
     assert got == [None, "http://ok.rewritten.net/", "http://other.org/z"]
+
+
+def test_host_drops_userinfo_and_port(spark):
+    """URI.getHost() parity (ExternalLinkExtractor.java:148-151): the
+    userinfo@ prefix and :port are not part of the host, while an '@'
+    in the path must NOT be mistaken for userinfo."""
+    line = (
+        "INSERT INTO `externallinks` VALUES "
+        "(1,0,'x','http://user:pw@h.example.com/x','i'),"
+        "(2,0,'x','http://h2.example.com:8080/y@z','i');"
+    )
+    lines = spark.createDataFrame([(line,)], "value string")
+    got = {r["url"]: r["host"] for r in wiki_external_links(lines).collect()}
+    assert got["http://user:pw@h.example.com/x"] == "h.example.com"
+    assert got["http://h2.example.com:8080/y@z"] == "h2.example.com"
