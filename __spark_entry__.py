@@ -299,34 +299,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s6_shard_manifest"] = s6_shard_manifest
 
-    def s6_shard_download(s, d):
-        """Rows-only: distributed shard fetch (simulated transport) into a
-        throwaway dir — statuses + byte counts are deterministic."""
+    def s6_s7_shard_fetch_probe(s, d):
+        """S6 download + S7 HEAD probe in one oracled pass: fetch every
+        shard (simulated transport) into a throwaway dir, HEAD-probe the
+        same manifest, join on output_name. shard_payload_size makes the
+        byte counts a closed form of the shard number (75-byte lines ×
+        40+(num%23) + 23 bytes of level-0 gzip framing), so the DuckDB
+        oracle replays statuses AND sizes exactly — and the join asserts
+        download/HEAD agreement inside the gate itself."""
         import tempfile
 
         from simplecommoncrawlextractor_spark.sources.shards import (
             download_shards,
+            head_shard_sizes,
             shard_manifest,
         )
 
         out = tempfile.mkdtemp(prefix="ccspark-shards-")
         m = shard_manifest(s, "CC-MAIN-2026-08", n_shards=32)
-        return download_shards(m, out).select(
-            "output_name", "status", "n_bytes"
-        ).orderBy("output_name")
+        dl = download_shards(m, out).select("output_name", "status", "n_bytes")
+        hd = head_shard_sizes(m)
+        return dl.join(hd, "output_name").orderBy("output_name")
 
-    q["s6_shard_download"] = s6_shard_download
-
-    def s7_shard_sizes(s, d):
-        from simplecommoncrawlextractor_spark.sources.shards import (
-            head_shard_sizes,
-            shard_manifest,
-        )
-
-        m = shard_manifest(s, "CC-MAIN-2026-08", n_shards=32)
-        return head_shard_sizes(m).orderBy("output_name")
-
-    q["s7_shard_sizes"] = s7_shard_sizes
+    q["s6_s7_shard_fetch_probe"] = s6_s7_shard_fetch_probe
 
     def f14_identity(s, d):
         from simplecommoncrawlextractor_spark.functions.mappers import (
@@ -349,14 +344,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- documents: dedup + text analysis -------------------------------
     q["dedup_exact_groups"] = lambda s, d: D.exact_dedup_groups(_docs(s, d))
+    # gate path: md5 sigs so the DuckDB oracle replays them bit-for-bit;
+    # the production xxhash64 variant (8-byte sigs, JVM-cheap) shares the
+    # exact banding plan and is pytest-equivalence-covered
+    # (tests/test_dedup.py::test_xxhash_mode_matches_md5_on_true_dups) and
+    # benched separately — same split for simhash below
     q["dedup_minhash_lsh"] = lambda s, d: D.minhash_lsh_candidates(_docs(s, d))
-    # production-path variant: xxhash64 sigs (8-byte, JVM-cheap) — same
-    # banding plan; rows-only (DuckDB has no xxhash64), pytest-covered
-    q["dedup_minhash_lsh_fast"] = lambda s, d: D.minhash_lsh_candidates(
-        _docs(s, d), hash_mode="xxhash64"
-    )
     q["dedup_ngram_jaccard"] = lambda s, d: D.ngram_jaccard_pairs(_docs(s, d), threshold=0.05)
-    q["dedup_simhash"] = lambda s, d: D.simhash_near_dups(_docs(s, d), max_hamming=8)
+    q["dedup_simhash"] = lambda s, d: D.simhash_near_dups(
+        _docs(s, d), max_hamming=8, hash_mode="md5hex"
+    )
     q["text_token_hist"] = lambda s, d: T.token_count_hist(_docs(s, d))
     q["text_quality"] = lambda s, d: T.quality_table(_docs(s, d))
     q["text_lang_id"] = lambda s, d: T.lang_id_table(_docs(s, d))
@@ -371,16 +368,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_token_bpe"] = text_token_bpe
 
-    def text_rolling_fp(s, d):
-        from simplecommoncrawlextractor_spark.functions.text import (
-            rolling_fingerprint,
-        )
-
-        return _docs(s, d).select(
-            "doc_id", rolling_fingerprint("text").alias("rfp")
-        ).orderBy("doc_id")
-
-    q["text_rolling_fingerprint"] = text_rolling_fp  # rows-only (pandas UDF)
+    # (rolling_fingerprint — the vectorized Karp-Rabin kernel — is
+    # golden-pinned in tests/test_textstats.py and benched; it is not a
+    # gate entry so every rows-only slot goes to a distinct operator)
 
     # --- events: windowed aggregation / sessionization -------------------
     def events_hourly(s, d):
@@ -421,16 +411,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- embeddings: similarity search -----------------------------------
     # the LSH-bucketed path is the headline (oracled; linear in Σ bucket²);
-    # the brute-force crossJoin variants run on a deterministic 1-in-5
-    # sample ONLY — they are recall/exactness verifiers, never the scale path
+    # the brute-force crossJoin variants run on a deterministic ABSOLUTE
+    # slice ONLY (vec_id%5==0 AND vec_id<2500 → ≤500 rows at ANY sf, so the
+    # verifier cost is O(1) in data size, not O((N/5)²)) — they are
+    # recall/exactness verifiers, never the scale path
     q["ann_lsh_bucketed"] = lambda s, d: SIM.ann_bucketed_top1(
         _emb(s, d), dim=64, n_planes=4, n_tables=8, max_bucket=512
     )
     q["ann_cosine_top1"] = lambda s, d: SIM.cosine_top1(
-        _emb(s, d).filter(F.col("vec_id") % 5 == 0)
+        _emb(s, d).filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 2500))
     )
     q["ann_near_dups"] = lambda s, d: SIM.embedding_near_dups(
-        _emb(s, d).filter(F.col("vec_id") % 5 == 0), threshold=0.4
+        _emb(s, d).filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 2500)),
+        threshold=0.4,
     )
     q["ann_near_dups_bucketed"] = lambda s, d: SIM.embedding_near_dups_bucketed(
         _emb(s, d), threshold=0.4, dim=64, n_planes=4, n_tables=8, max_bucket=512
@@ -521,7 +514,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scheduler_one_round"] = scheduler_one_round
 
-    return q
+    # Explicit gate order: every ORACLED entry first (round 2's gate
+    # recorded exactly 50 of 53 registered entries, silently dropping the
+    # oracled frontier_harvest_by_host from the tail), then the four
+    # rows-only entries — so any driver-side truncation can only shed
+    # rows-only coverage, never an oracle check. The roster is trimmed to
+    # 50 total: variant entries whose operator already has an oracled
+    # sibling + pytest equivalence (xxhash64 minhash, rolling
+    # fingerprint, standalone s6/s7) were retired, not their code.
+    order = [
+        # CDX analytics (oracled)
+        "a1_count_mimes", "a2_count_ext", "a3_count_ext_by_mime",
+        "a4_count_mime_by_ext", "a5_count_tlds", "a6_count_tld_mime_200",
+        "a7_count_tld_mime_detected", "a8_count_tld_charset",
+        "a9_count_tld_charset_lang", "a10_mime_confusion", "a11_run_stats",
+        "a12_sample_tally",
+        # sorts / filters / parsing (oracled)
+        "o2_double_key_sort", "o4_politeness_topk", "f5_length_gates",
+        "f7_digest_semijoin", "f8_set_membership", "f9_seen_antijoin",
+        "f10_downsample_strata", "f11_downsample_langcharset",
+        "f13_capture_replace", "f14_identity_norm",
+        "p1_cdx_parse", "p2_offset_header", "p3_to_json",
+        # frontier centerpiece (oracled: generator-replay)
+        "frontier_harvest_by_host",
+        # sources (oracled)
+        "s6_shard_manifest", "s6_s7_shard_fetch_probe",
+        "s9_wiki_external_links",
+        # dedup + text (oracled)
+        "dedup_exact_groups", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_simhash", "text_token_hist", "text_quality", "text_lang_id",
+        "text_fingerprint", "text_token_bpe",
+        # events (oracled)
+        "events_hourly_counts", "events_sessionize",
+        # similarity (oracled)
+        "ann_lsh_bucketed", "ann_multiprobe_top1", "ann_ivf_top1",
+        "ann_near_dups_bucketed", "ann_cosine_top1", "ann_near_dups",
+        # rows-only tail (stateful / binary-payload / pandas-UDF paths)
+        "frontier_schedule_batch", "scheduler_one_round",
+        "extraction_select", "multimodal_image_features",
+    ]
+    assert set(order) == set(q), (set(order) ^ set(q))
+    return {k: q[k] for k in order}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -655,6 +688,17 @@ def oracle_sql() -> dict[str, str]:
         "'CC-MAIN-2026-08-cdx-' || lpad(CAST(i AS VARCHAR), 5, '0') || '.gz' AS output_name "
         "FROM range(300) t(i) ORDER BY shard_num"
     )
+    # S6+S7 end-to-end: simulated_transport writes 40+(num%23) fixed
+    # 75-byte lines as level-0 gzip (23 framing bytes), so n_bytes and the
+    # HEAD Content-Length are the same closed form of the shard number
+    # (sources/shards.py::shard_payload_size)
+    o["s6_s7_shard_fetch_probe"] = (
+        "SELECT 'CC-MAIN-2026-08-cdx-' || lpad(CAST(i AS VARCHAR), 5, '0') || '.gz' AS output_name, "
+        "'ok' AS status, "
+        "CAST(23 + 75 * (40 + i % 23) AS BIGINT) AS n_bytes, "
+        "CAST(23 + 75 * (40 + i % 23) AS BIGINT) AS content_length "
+        "FROM range(32) t(i) ORDER BY output_name"
+    )
 
     o["s9_wiki_external_links"] = oracle_cte(
         "SELECT regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^@/]*@)?([^/:?#]+)', 1) AS host, url "
@@ -714,6 +758,47 @@ SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b
 FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.05 ORDER BY id_a, id_b
 """.strip()
+    # dedup_simhash gate path (hash_mode='md5hex'): bit b of a token's
+    # 64-bit hash is bit (b%4) of hex digit (b//4) of md5(token) — DuckDB
+    # replays the votes, the sign bits, the 4×16-bit segment pigeonhole
+    # (with the 256 segment-bucket cap mirrored) and the per-pair hamming
+    # count, so the gate tests the full candidate topology, not just rows
+    o["dedup_simhash"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+bits AS (
+  SELECT doc_id, b,
+         ((('0x' || substr(hx, CAST(b // 4 AS INT) + 1, 1))::INT >> (b % 4)) & 1) * 2 - 1 AS vote
+  FROM h, (SELECT unnest(generate_series(0, 63)) AS b)
+),
+sbits AS (
+  SELECT doc_id, b, CASE WHEN sum(vote) > 0 THEN 1 ELSE 0 END AS bit
+  FROM bits GROUP BY doc_id, b
+),
+segv AS (
+  SELECT doc_id, CAST(b // 16 AS INT) AS seg,
+         CAST(sum(bit << (b % 16)) AS BIGINT) AS seg_val
+  FROM sbits GROUP BY 1, 2
+),
+segkeep AS (SELECT seg, seg_val FROM segv GROUP BY 1, 2 HAVING count(*) <= 256),
+sk AS (SELECT segv.* FROM segv JOIN segkeep USING (seg, seg_val)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sk a JOIN sk b USING (seg, seg_val) WHERE a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT c.id_a, c.id_b,
+         CAST(sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+  FROM cand c
+  JOIN sbits x ON x.doc_id = c.id_a
+  JOIN sbits y ON y.doc_id = c.id_b AND y.b = x.b
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8 ORDER BY id_a, id_b
+""".strip()
     o["text_token_hist"] = (
         "SELECT n_tokens, count(*) AS cnt FROM (SELECT CAST(len(string_split_regex("
         "trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents) GROUP BY 1 ORDER BY 1"
@@ -769,7 +854,7 @@ FROM g GROUP BY 1 ORDER BY 1
 """.strip()
 
     o["ann_cosine_top1"] = """
-WITH samp AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
+WITH samp AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 2500),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
@@ -782,7 +867,7 @@ SELECT id_a AS vec_id, id_b AS nn_id FROM (
 ) WHERE rn = 1 ORDER BY vec_id
 """.strip()
     o["ann_near_dups"] = """
-WITH samp AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0)
+WITH samp AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 2500)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM samp a, samp b
 WHERE a.vec_id < b.vec_id
@@ -982,9 +1067,8 @@ dedup AS (SELECT DISTINCT host, url_canon FROM urls)
 SELECT host, count(*) AS cnt FROM dedup GROUP BY 1 ORDER BY cnt DESC, host
 """.strip()
 
-    # dedup_simhash, frontier_schedule_batch, scheduler_one_round,
-    # extraction/multimodal, s6 download / s7 sizes,
-    # dedup_minhash_lsh_fast, text_rolling_fingerprint: rows-only
-    # (xxhash64 / binary payloads are not DuckDB-expressible); covered by
-    # pytest golden + equivalence tests.
+    # frontier_schedule_batch, scheduler_one_round, extraction_select,
+    # multimodal_image_features: rows-only (xxhash64 priorities, stateful
+    # checkpointing, binary payload sniff/decode are not
+    # DuckDB-expressible); covered by pytest golden + equivalence tests.
     return o

@@ -53,15 +53,35 @@ def shard_manifest(
     )
 
 
+def shard_payload_size(shard_num: int) -> int:
+    """The byte size simulated_transport returns for a shard — PURE
+    ARITHMETIC in the shard number, so the driver's DuckDB oracle can
+    replay S6/S7 end-to-end: fixed-width 75-byte lines, 40+(num%23) lines
+    per shard, and gzip level-0 stored-block framing (10-byte header +
+    5-byte block header + 8-byte trailer = 23 bytes for payloads under
+    one 64 KiB deflate block)."""
+    return 23 + 75 * (40 + shard_num % 23)
+
+
+_SHARD_NUM_RE = re.compile(r"(\d+)\.gz$")
+
+
 def simulated_transport(url: str) -> bytes:
     """SANDBOX TRANSPORT: deterministic gzip'd CDX-ish lines derived from
-    the url — stands in for the S3 GET (no network in this container)."""
-    seed = hashlib.sha1(url.encode()).hexdigest()
+    the url's shard number — stands in for the S3 GET (no network in this
+    container). Level-0 (stored) gzip keeps the output size the closed
+    form in shard_payload_size; content stays valid gzip'd CDX lines."""
+    m = _SHARD_NUM_RE.search(url)
+    num = int(m.group(1)) if m else int(hashlib.sha1(url.encode()).hexdigest(), 16) % 100000
     lines = "".join(
-        f"com,example)/{seed[:6]}/{i} 20260101 {{\"url\": \"https://example.com/{seed[:6]}/{i}\"}}\n"
-        for i in range(50)
+        f'com,example)/{num % 100000:05d}/{i:04d} 20260101 '
+        f'{{"url": "https://example.com/{num % 100000:05d}/{i:04d}"}}\n'
+        for i in range(40 + num % 23)
     )
-    return gzip.compress(lines.encode(), mtime=0)
+    data = lines.encode()
+    out = gzip.compress(data, compresslevel=0, mtime=0)
+    assert len(out) == shard_payload_size(num) or len(data) >= 65000
+    return out
 
 
 def wget_transport(url: str, timeout_sec: int = TIMEOUT_SEC) -> bytes:

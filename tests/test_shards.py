@@ -51,3 +51,18 @@ def test_download_isolates_failures(spark, tmp_path):
             download_shards(m, str(tmp_path / "s"), transport=flaky).collect()}
     assert rows["CC-TEST-cdx-00003.gz"].startswith("failed")
     assert sum(1 for s in rows.values() if s == "ok") == 9
+
+
+def test_simulated_transport_size_closed_form():
+    """The oracle's arithmetic (23 + 75·(40+num%23)) must match the real
+    bytes produced, and the payload must stay valid gzip'd CDX lines."""
+    from simplecommoncrawlextractor_spark.sources.shards import shard_payload_size
+
+    for num in (0, 1, 7, 22, 23, 299):
+        url = f"https://commoncrawl.s3.amazonaws.com/x/indexes/cdx-{num:05d}.gz"
+        blob = simulated_transport(url)
+        assert len(blob) == shard_payload_size(num) == 23 + 75 * (40 + num % 23)
+        text = gzip.decompress(blob).decode()
+        lines = text.splitlines(keepends=True)
+        assert len(lines) == 40 + num % 23
+        assert all(len(ln) == 75 for ln in lines)
