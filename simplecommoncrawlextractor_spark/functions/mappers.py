@@ -157,6 +157,37 @@ def uri_valid(c: Column | str) -> Column:
 
 def url_util_clean(c: Column | str, rules: list[dict]) -> Column:
     """URLUtil.clean (URLUtil.java:35-49): apply the ``input_url`` mapper
-    chain, then blank anything that fails the URI syntax gate."""
+    chain, then blank anything that fails the URI syntax gate.
+
+    NOTE: as a single Column expression, every rule that references its
+    input twice (all of them) DOUBLES the expression tree, and predicate
+    pushdown re-inlines the whole thing — exponential in rule count. For
+    chains longer than a rule or two, use apply_mapper_chain_staged on a
+    DataFrame column instead; this form exists for expression-context
+    callers (tests, single-rule mappers)."""
     c = apply_mapper_chain(c, rules)
     return F.when(uri_valid(c), c).otherwise(F.lit(None).cast("string"))
+
+
+def _rule_expr(c: Column, r: dict) -> Column:
+    if r["kind"] == "filter":
+        return filter_field_mapper(c, r["find"])
+    if r["kind"] == "capture":
+        return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+            capture_field_mapper(c, r["find"], r["replace"], r["fail_policy"])
+        )
+    return identity_field_mapper(c)
+
+
+def apply_mapper_chain_staged(df, col: str, rules: list[dict]):
+    """The scale-safe ChainedFieldMapper: one PROJECTION per rule over the
+    named column. Each stage's input is a plain attribute, so the rule
+    expression references cheap attrs only; CollapseProject keeps stages
+    separate (a non-cheap alias referenced more than once is never
+    re-inlined), which makes the chain's work LINEAR in rule count — the
+    single-expression form doubles per rule (url_mappings.json has 14:
+    2^14 regex evaluations per row vs 14). Same semantics as
+    apply_mapper_chain, golden-tested against it."""
+    for r in rules:
+        df = df.withColumn(col, _rule_expr(F.col(col), r))
+    return df

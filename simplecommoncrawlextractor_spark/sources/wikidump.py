@@ -22,17 +22,114 @@ reference's byte machine for the ASCII metacharacters it switches on).
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
-from ..functions.mappers import url_util_clean
+from ..functions.mappers import apply_mapper_chain_staged, uri_valid
 
 URL_COLUMN = 3  # el_to in the externallinks schema (ExternalLinkExtractor.java:127)
 
+# fast-path lexer: ONE C-speed regex pass per line that matches whole
+# tuples and captures the url column, instead of a Python char loop. A
+# cell is an unquoted run (no quote/comma/paren) or a single-quoted
+# string honoring backslash escapes (unrolled-loop pattern — linear, no
+# catastrophic backtracking); a tuple is 4+ cells. Gap validation makes
+# the shortcut safe: any bytes between matched tuples beyond separators
+# (mixed-quote cells, short tuples, dangling escapes, stray parens)
+# reject the line to the char machine, which IS the reference semantics
+# — the fast path is only ever an equivalent shortcut, never a semantic
+# fork (equivalence is property-tested in tests/test_wikidump.py).
+# \x00 is excluded from every cell class so a batch of lines can be
+# joined on NUL and lexed in ONE findall without a tuple ever spanning
+# two lines (inputs containing NUL fall back per line)
+_QC = r"'[^'\\\x00]*(?:\\[^\x00][^'\\\x00]*)*'"
+_UC = r"[^',()\x00]*"
+_CELL = "(?:%s|%s)" % (_QC, _UC)
+_TUPLE_RE = re.compile(
+    r"\((?:%s,){%d}(%s|%s)(?:,%s)*\)" % (_CELL, URL_COLUMN, _QC, _UC, _CELL)
+)
+_UNESC_RE = re.compile(r"\\(.)")
+
+
+def _cells_postprocess(cells: list[str]) -> list[str]:
+    """Strip quotes and batch-unescape captured cells (ONE sub pass for
+    the whole list: a quoted cell can never end in an unpaired backslash
+    — the pattern pairs every '\\' with its next char — so NUL joints
+    are safe)."""
+    out: list[str] = []
+    esc_idx: list[int] = []
+    for c in cells:
+        if c[:1] == "'":
+            c = c[1:-1]
+            if "\\" in c:
+                esc_idx.append(len(out))
+        out.append(c)
+    if esc_idx:
+        fixed = _UNESC_RE.sub(
+            r"\1", "\x00".join(out[i] for i in esc_idx)
+        ).split("\x00")
+        for i, v in zip(esc_idx, fixed):
+            out[i] = v
+    return out
+
+
+def _lex_lines_batch(lines) -> list[str]:
+    """Lex a whole Arrow batch of INSERT lines in TWO C regex passes
+    (findall for the capture cells, sub for coverage validation) over the
+    NUL-joined regions — per-tuple Python work drops to the quote-strip
+    loop. Any irregularity anywhere re-lexes line by line (fast path per
+    line, char machine as the authority)."""
+    regions = []
+    for s in lines:
+        if isinstance(s, str) and "\x00" not in s:
+            i = s.find("VALUES")
+            if i >= 0:
+                regions.append(s[i + 6 :])
+        elif isinstance(s, str):
+            regions = None  # NUL in input: joint marker unusable
+            break
+    if regions is not None:
+        joined = "\x00".join(regions)
+        leftover = _TUPLE_RE.sub("", joined)
+        if not leftover.strip(" ,;\t\r\n\x00"):
+            return _cells_postprocess(_TUPLE_RE.findall(joined))
+    out: list[str] = []
+    for s in lines:
+        if isinstance(s, str):
+            out.extend(_lex_values_line(s))
+    return out
+
+
+def _lex_values_line_fast(s: str, url_col: int = URL_COLUMN) -> list[str] | None:
+    """Regex tuple scan for the capture column; None = not fully regular
+    (unscanned bytes beyond separators between tuples), caller must use
+    the char machine."""
+    if url_col != URL_COLUMN:
+        return None  # the compiled pattern is specialized for el_to
+    start = s.find("VALUES")
+    if start < 0:
+        return []
+    region = s[start + 6 :]
+    if "\x00" in region:
+        return None  # NUL is the batch-unescape join marker
+    if _TUPLE_RE.sub("", region).strip(" ,;\t\r\n"):
+        return None
+    return _cells_postprocess(_TUPLE_RE.findall(region))
+
 
 def _lex_values_line(s: str, url_col: int = URL_COLUMN) -> list[str]:
+    if url_col == URL_COLUMN:
+        fast = _lex_values_line_fast(s)
+        if fast is not None:
+            return fast
+    return _lex_values_line_slow(s, url_col)
+
+
+def _lex_values_line_slow(s: str, url_col: int = URL_COLUMN) -> list[str]:
     """One INSERT line → the captured url-column value of every tuple.
     Mirrors readToVALUES/readRecord/readToSquote exactly: only the capture
     column's characters are buffered; a backslash escape emits the NEXT
@@ -87,14 +184,23 @@ def _lex_values_line(s: str, url_col: int = URL_COLUMN) -> list[str]:
 
 @F.pandas_udf(ArrayType(StringType()))
 def lex_externallinks(lines: pd.Series) -> pd.Series:
+    """Per-line array lexer (kept for callers that need line→urls
+    attribution); the flat scan below is the throughput path."""
     return lines.map(lambda s: _lex_values_line(s) if isinstance(s, str) else [])
 
 
 def parse_externallinks_dump(lines: DataFrame, value_col: str = "value") -> DataFrame:
-    """text lines → one row per tuple's raw captured URL."""
-    return lines.select(
-        F.explode(lex_externallinks(F.col(value_col))).alias("raw_url")
-    )
+    """text lines → one row per tuple's raw captured URL. mapInPandas:
+    each Arrow batch of lines is lexed in two C regex passes over a
+    NUL-joined buffer (_lex_lines_batch) — the downstream stage explodes
+    per-URL anyway, so flattening here costs nothing and removes the
+    per-line Python from the scan."""
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"raw_url": _lex_lines_batch(pdf[value_col])})
+
+    return lines.select(F.col(value_col)).mapInPandas(gen, "raw_url string")
 
 
 def wiki_external_links(
@@ -112,9 +218,24 @@ def wiki_external_links(
         F.concat(F.lit("http:"), F.col("raw_url")),
     ).otherwise(F.col("raw_url"))
     url = F.regexp_replace(url, r"\s+", " ")
-    cleaned = url_util_clean(url, mapper_rules or [])
-    kept = raw.select(cleaned.alias("url")).filter(
-        F.col("url").isNotNull() & (F.trim(F.col("url")) != "")
+    # STAGED chain (one projection per rule, attribute inputs): the
+    # single-expression form duplicates its input per rule and predicate
+    # pushdown re-inlines it — exponential in rule count (2× per rule was
+    # +2 s at sf0.1 with just two rules; url_mappings.json has 14)
+    df = apply_mapper_chain_staged(raw.select(url.alias("url")), "url", mapper_rules or [])
+    gated = df.withColumn(
+        "url", F.when(uri_valid(F.col("url")), F.col("url"))
+    )
+    # null/blank drop via array-filter + explode instead of a Filter node:
+    # a Filter would be pushed below the projection stack, re-inlining the
+    # gate expression into the condition; Generate keeps one evaluation
+    kept = gated.select(
+        F.explode(
+            F.filter(
+                F.array("url"),
+                lambda x: x.isNotNull() & (F.trim(x) != ""),
+            )
+        ).alias("url")
     )
     # Java URI.getHost() drops the userinfo@ part of the authority and the
     # :port (ExternalLinkExtractor.java:148-151) — the optional [^@/]*@

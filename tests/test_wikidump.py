@@ -123,3 +123,130 @@ def test_host_drops_userinfo_and_port(spark):
     got = {r["url"]: r["host"] for r in wiki_external_links(lines).collect()}
     assert got["http://user:pw@h.example.com/x"] == "h.example.com"
     assert got["http://h2.example.com:8080/y@z"] == "h2.example.com"
+
+
+def test_fast_lexer_equivalence_and_fallback():
+    """The regex fast path must agree with the reference char machine on
+    every regular line and must DECLINE (None) anything irregular so the
+    char machine keeps authority over the weird cases."""
+    from simplecommoncrawlextractor_spark.sources.wikidump import (
+        _lex_values_line,
+        _lex_values_line_fast,
+        _lex_values_line_slow,
+    )
+
+    regular = [
+        "INSERT INTO `externallinks` VALUES (1,0,'a','http://x/','i');",
+        "INSERT INTO t VALUES (1,0,'it\\'s a (test), really','http:\\/\\/x\\/p','i'),(2,0,'','//proto.rel/x','j');",
+        "INSERT INTO t VALUES (1,2,3,4),(5,6,7,8,9,10);",  # unquoted, 4 and 6 cols
+        "INSERT INTO t VALUES (1,0,'x','');",  # empty quoted capture
+        "no values keyword here",
+    ]
+    for line in regular:
+        fast = _lex_values_line_fast(line)
+        slow = _lex_values_line_slow(line)
+        assert fast is not None and fast == slow, line
+        assert _lex_values_line(line) == slow
+    irregular = [
+        # mixed quoted+unquoted cell content — char machine authority
+        "INSERT INTO t VALUES (1,ab'cd'ef,3,4);",
+        # dangling escape inside a quote
+        "INSERT INTO t VALUES (1,2,3,'oops\\",
+        # junk with a stray paren between tuples
+        "INSERT INTO t VALUES (1,2,3,4)x((5,6,7,8);",
+        # a short (<4 cell) tuple leaves unscanned bytes → char machine
+        "INSERT INTO t VALUES (1,2,3) , (4,5,6,7);",
+    ]
+    for line in irregular:
+        assert _lex_values_line_fast(line) is None, line
+        assert _lex_values_line(line) == _lex_values_line_slow(line)
+
+
+def test_fast_lexer_equivalence_property():
+    """Randomized equivalence: whenever the fast path answers, it answers
+    exactly like the char machine."""
+    import random
+
+    from simplecommoncrawlextractor_spark.sources.wikidump import (
+        _lex_values_line_fast,
+        _lex_values_line_slow,
+    )
+
+    rng = random.Random(42)
+    # quoted cells may carry anything (escapes keep them well-formed);
+    # unquoted cells draw from structural chars too, so a slice of lines
+    # is irregular and MUST take the char-machine path
+    q_frags = ["a", "1", "", "http://x/y", "it's", "(", ")", ",", "\\\\", "\\/", " ", ";"]
+    u_frags = ["a", "1", "", "http://x/y", " ", ";", "(", "'", "\\"]
+
+    def cell():
+        if rng.random() < 0.6:
+            inner = "".join(rng.choice(q_frags) for _ in range(rng.randrange(4)))
+            return "'" + inner.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        return "".join(rng.choice(u_frags) for _ in range(rng.randrange(3)))
+
+    agree = 0
+    for _ in range(500):
+        n_tuples = rng.randrange(1, 4)
+        tuples = ",".join(
+            "(" + ",".join(cell() for _ in range(rng.randrange(4, 8))) + ")"
+            for _ in range(n_tuples)
+        )
+        line = "INSERT INTO t VALUES " + tuples + ";"
+        fast = _lex_values_line_fast(line)
+        if fast is not None:
+            assert fast == _lex_values_line_slow(line), line
+            agree += 1
+    # ~40% of generated cells are unquoted WITH structural chars, which
+    # legitimately falls back; the fast path must still fire broadly
+    assert agree > 150
+
+
+def test_batch_lexer_matches_per_line(spark):
+    """The NUL-joined batch scan must equal per-line char-machine output
+    flattened in order — including when one irregular line forces the
+    whole batch down the per-line path."""
+    from simplecommoncrawlextractor_spark.sources.wikidump import (
+        _lex_lines_batch,
+        _lex_values_line_slow,
+    )
+
+    regular = [
+        "INSERT INTO t VALUES (1,0,'a','http://x/1','i'),(2,0,'b','http://x/2','j');",
+        "noise line without the keyword",
+        "INSERT INTO t VALUES (3,0,'it\\'s (x), y','http:\\/\\/z\\/p','i');",
+        None,
+        "INSERT INTO t VALUES (4,1,2,'//rel/x');",
+    ]
+    expected = [
+        u for s in regular if isinstance(s, str) for u in _lex_values_line_slow(s)
+    ]
+    assert _lex_lines_batch(regular) == expected
+    # one irregular line (short tuple) → whole batch re-lexed per line
+    mixed = regular + ["INSERT INTO t VALUES (9,8);"]
+    expected_mixed = [
+        u for s in mixed if isinstance(s, str) for u in _lex_values_line_slow(s)
+    ]
+    assert _lex_lines_batch(mixed) == expected_mixed
+
+
+def test_staged_chain_matches_expression_chain(spark):
+    """apply_mapper_chain_staged (one projection per rule — linear plan
+    cost) must agree with the single-expression chain on the reference's
+    full 14-rule url_mappings.json."""
+    if not os.path.exists(REF_JSON):
+        pytest.skip("reference config not present")
+    from simplecommoncrawlextractor_spark.functions.mappers import (
+        apply_mapper_chain_staged,
+    )
+
+    rules = load_field_mapper_json(REF_JSON)["input_url"]
+    urls = [
+        "http://en.wikipedia.org/wiki/X", "http://www.bbc.co.uk/news",
+        "https://doi.org/10.1000/x", "http://example.com/page",
+        "http://stats.gov.cn/x", "http://" + "a" * 3000, "",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    expr_out = [r[0] for r in df.select(apply_mapper_chain(F.col("u"), rules).alias("u")).collect()]
+    staged_out = [r[0] for r in apply_mapper_chain_staged(df, "u", rules).collect()]
+    assert staged_out == expr_out
