@@ -3,12 +3,13 @@ columns with typed metadata.
 
 The Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas
 signatures, partitioning) is real and tested. Decoding is REAL for the
-two formats that need no external library — uncompressed BMP
-(BITMAPINFOHEADER, 24/32bpp BI_RGB) and binary PPM (P6) — parsed by hand
-in ``_decode_bmp``/``_decode_ppm``; compressed formats (PNG/JPEG/...)
-remain STUBBED with a deterministic fake (this container ships no image
-libraries) behind ``_decode_image_stub`` — swap in PIL/libav by replacing
-that one function. Batch shape: mapInPandas receives an iterator of Arrow
+formats decodable with the stdlib alone — uncompressed BMP
+(BITMAPINFOHEADER, 24/32bpp BI_RGB), binary PPM (P6), and
+non-interlaced 8-bit RGB/RGBA PNG (zlib inflate + the five scanline
+filters, ``_decode_png``); JPEG/WEBP remain STUBBED with a deterministic
+fake (this container ships no image libraries) behind
+``_decode_image_stub`` — swap in PIL/libav by replacing that one
+function. Batch shape: mapInPandas receives an iterator of Arrow
 batches; we yield one output frame per input frame to keep memory bounded
 regardless of payload size — the pattern that matters at 100 TB, where a
 single partition can hold GBs of media bytes.
@@ -16,7 +17,9 @@ single partition can hold GBs of media bytes.
 
 from __future__ import annotations
 
+import binascii
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -135,12 +138,100 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     return width, height, _pixel_features(px, width, height, maxval=maxval)
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """REAL decode of a non-interlaced 8-bit truecolor PNG (color type 2
+    RGB / 6 RGBA) with stdlib zlib: chunk walk with CRC verification,
+    raw-deflate inflate, and the five scanline filters (None/Sub/Up/
+    Average/Paeth). The inflate skips the 2-byte zlib header and the
+    adler32 trailer (PNG forbids preset dictionaries, so the header is
+    always 2 bytes; ignoring adler lets column-synthesized payloads whose
+    trailer is a placeholder decode too — chunk CRCs are still checked).
+    Returns None for palette/interlaced/16-bit/ancillary-critical cases —
+    the caller falls back to the stub."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, n = 8, len(payload)
+    w = h = channels = None
+    idat = b""
+    while pos + 12 <= n:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        end = pos + 8 + length
+        if end + 4 > n:
+            return None
+        data = payload[pos + 8 : end]
+        (crc,) = struct.unpack_from(">I", payload, end)
+        if binascii.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            return None
+        pos = end + 4
+        if ctype == b"IHDR":
+            if length != 13:
+                return None
+            w, h, depth, ct, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or ct not in (2, 6) or comp or filt or interlace:
+                return None
+            if w <= 0 or h <= 0 or w * h > 1 << 24:
+                return None
+            channels = 3 if ct == 2 else 4
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None or len(idat) < 3:
+        return None
+    try:
+        raw = zlib.decompressobj(-15).decompress(idat[2:])
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < (stride + 1) * h:
+        return None
+    buf = np.frombuffer(raw, dtype=np.uint8, count=(stride + 1) * h)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        f = int(buf[r * (stride + 1)])
+        line = buf[r * (stride + 1) + 1 : (r + 1) * (stride + 1)].astype(np.int32)
+        prev = recon[r - 1].astype(np.int32) if r else np.zeros(stride, np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up — vectorized (no intra-row dependency)
+            rec = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub/Average/Paeth carry a left dependency
+            rec = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(rec[i - channels]) if i >= channels else 0
+                b = int(prev[i])
+                c = int(prev[i - channels]) if i >= channels else 0
+                if f == 1:
+                    v = line[i] + a
+                elif f == 3:
+                    v = line[i] + ((a + b) >> 1)
+                else:
+                    v = line[i] + _paeth(a, b, c)
+                rec[i] = v & 0xFF
+        else:
+            return None
+        recon[r] = rec.astype(np.uint8)
+    px = recon.reshape(h, w, channels)[:, :, :3].reshape(-1, 3)
+    return w, h, _pixel_features(px, w, h)
+
+
 def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Dispatch: real BMP/PPM decode when the bytes are one; deterministic
-    stub otherwise (compressed formats, garbage, truncation)."""
+    """Dispatch: real BMP/PPM/PNG decode when the bytes are one;
+    deterministic stub otherwise (JPEG/WEBP, garbage, truncation)."""
     out = _decode_bmp(payload)
     if out is None:
         out = _decode_ppm(payload)
+    if out is None:
+        out = _decode_png(payload)
     return out if out is not None else _decode_image_stub(payload)
 
 
@@ -216,6 +307,23 @@ _BMP_4X4_HEADER = (
     + struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 24, 0, 48, 0, 0, 0, 0)
 )
 
+# constant pieces of a REAL 4×4 8-bit RGB PNG whose 48 pixel bytes come
+# from the media_ref: signature + IHDR (with true CRC), a level-0
+# (stored-block) zlib prefix for the 52-byte filtered scanline payload,
+# and IEND. The IDAT CRC is computed per row with F.crc32 column-side;
+# the adler32 trailer is a placeholder (not column-expressible) which
+# _decode_png deliberately does not verify.
+_PNG_IHDR_DATA = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+_PNG_PREFIX = (
+    b"\x89PNG\r\n\x1a\n"
+    + struct.pack(">I", 13) + b"IHDR" + _PNG_IHDR_DATA
+    + struct.pack(">I", binascii.crc32(b"IHDR" + _PNG_IHDR_DATA))
+    + struct.pack(">I", 2 + 5 + 52 + 4)  # IDAT length
+    + b"IDAT"
+)
+_PNG_ZHDR = b"\x78\x01" + b"\x01" + struct.pack("<HH", 52, 52 ^ 0xFFFF)
+_PNG_IEND = struct.pack(">I", 0) + b"IEND" + struct.pack(">I", binascii.crc32(b"IEND"))
+
 
 def media_payloads_from_docs(docs: DataFrame) -> DataFrame:
     """Extract media spans from interleaved documents and synthesize their
@@ -233,8 +341,33 @@ def media_payloads_from_docs(docs: DataFrame) -> DataFrame:
     bmp = F.concat(
         F.lit(_BMP_4X4_HEADER).cast("binary"), F.substring(ref_bytes, 1, 48)
     )
+    # REAL PNG, built entirely column-side: 4 scanlines of (filter 0 +
+    # 12 ref-derived RGB bytes) in a stored deflate block, IDAT CRC via
+    # F.crc32 rendered to big-endian bytes through hex
+    scanlines = F.concat(
+        *[
+            c
+            for r in range(4)
+            for c in (
+                F.lit(b"\x00").cast("binary"),
+                F.substring(ref_bytes, 1 + 12 * r, 12),
+            )
+        ]
+    )
+    idat_data = F.concat(
+        F.lit(_PNG_ZHDR).cast("binary"), scanlines,
+        F.lit(b"\x00\x00\x00\x00").cast("binary"),  # adler placeholder
+    )
+    idat_crc = F.to_binary(
+        F.format_string("%08x", F.crc32(F.concat(F.lit(b"IDAT").cast("binary"), idat_data))),
+        F.lit("hex"),
+    )
+    png = F.concat(
+        F.lit(_PNG_PREFIX).cast("binary"), idat_data, idat_crc,
+        F.lit(_PNG_IEND).cast("binary"),
+    )
     body = (
-        F.when(F.pmod(seed, F.lit(4)) == 0, F.concat(F.lit(b"\x89PNG\r\n\x1a\n").cast("binary"), ref_bytes))
+        F.when(F.pmod(seed, F.lit(4)) == 0, png)
         .when(F.pmod(seed, F.lit(4)) == 1, F.concat(F.lit(b"\xff\xd8\xff\xe0").cast("binary"), ref_bytes))
         .when(F.pmod(seed, F.lit(4)) == 2, bmp)
         .otherwise(F.concat(F.lit(b"RIFF1234WEBP").cast("binary"), ref_bytes))

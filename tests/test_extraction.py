@@ -97,11 +97,11 @@ def test_multimodal_plumbing(spark, sf_dir):
     assert mimes <= {"image/png", "image/jpeg", "image/bmp", "image/webp"}
     for r in frows:
         assert len(r["feat"]) == 8
-        if r["mime"] == "image/bmp":
-            # the REAL decoder reads true dimensions from the header
+        if r["mime"] in ("image/bmp", "image/png"):
+            # the REAL decoders read true dimensions from the header
             assert (r["width"], r["height"]) == (4, 4)
         else:
-            assert 64 <= r["width"] <= 2048  # stub-derived
+            assert 64 <= r["width"] <= 2048  # stub-derived (jpeg/webp)
     # determinism of decode (real + stub paths)
     again = image_features(media).collect()
     assert sorted(map(str, frows)) == sorted(map(str, again))

@@ -90,3 +90,110 @@ def test_ppm_maxval_below_255_normalizes_correctly():
     body255 = bytes([255, 0, 0] * 4)
     _, _, feat255 = decode_image(b"P6\n2 2\n255\n" + body255)
     assert np.allclose(feat, feat255, atol=1e-6)
+
+
+def _make_png(px, channels=3, filters=None, level=6):
+    """Build a REAL PNG (proper zlib stream + CRCs) from an (h, w, c)
+    uint8 array, optionally forcing a filter type per scanline."""
+    import binascii
+    import struct as st
+    import zlib
+
+    h, w, c = px.shape
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for r in range(h):
+        line = px[r].reshape(-1).astype(np.int32)
+        f = filters[r]
+        raw.append(f)
+        enc = np.empty(w * c, dtype=np.int32)
+        for i in range(w * c):
+            a = int(line[i - c]) if i >= c else 0
+            b = int(prev[i])
+            cc = int(prev[i - c]) if i >= c else 0
+            if f == 0:
+                enc[i] = line[i]
+            elif f == 1:
+                enc[i] = line[i] - a
+            elif f == 2:
+                enc[i] = line[i] - b
+            elif f == 3:
+                enc[i] = line[i] - ((a + b) >> 1)
+            else:
+                pp = a + b - cc
+                pa, pb, pc2 = abs(pp - a), abs(pp - b), abs(pp - cc)
+                pred = a if (pa <= pb and pa <= pc2) else (b if pb <= pc2 else cc)
+                enc[i] = line[i] - pred
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = line
+    ct = 2 if c == 3 else 6
+
+    def chunk(t, d):
+        return st.pack(">I", len(d)) + t + d + st.pack(">I", binascii.crc32(t + d))
+
+    ihdr = st.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), level)) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_true_pixels_all_filters():
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    for filters in ([0] * 5, [1] * 5, [2] * 5, [3] * 5, [4] * 5, [0, 1, 2, 3, 4]):
+        payload = _make_png(px, filters=filters)
+        w, h, feat = decode_image(payload)
+        assert (w, h) == (4, 5), filters
+        f = px.reshape(-1, 3).astype(np.float32) / 255.0
+        assert np.allclose(feat[:3], f.mean(axis=0), atol=1e-6), filters
+    assert _sniff_one(_make_png(px)) == "image/png"
+
+
+def test_png_decode_rgba_drops_alpha():
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    w, h, feat = decode_image(_make_png(px, channels=4, filters=[4, 3, 1]))
+    assert (w, h) == (3, 3)
+    f = px.reshape(-1, 4)[:, :3].astype(np.float32) / 255.0
+    assert np.allclose(feat[:3], f.mean(axis=0), atol=1e-6)
+
+
+def test_png_corrupt_crc_or_exotic_falls_back_to_stub():
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = bytearray(_make_png(px))
+    good[-5] ^= 0xFF  # corrupt IEND CRC... IEND is last: corrupt IDAT CRC instead
+    bad_crc = bytes(good)
+    # palette PNG header (color type 3) → stub
+    pal = bytearray(_make_png(px))
+    pal[8 + 8 + 9] = 3  # IHDR color-type byte
+    for junk in (bad_crc, bytes(pal)):
+        gw, gh, gf = decode_image(junk)
+        sw, sh, sf = _decode_image_stub(junk)
+        assert (gw, gh) == (sw, sh) and np.array_equal(gf, sf)
+
+
+def test_spark_synthesized_png_is_real(spark):
+    """The PNG bucket of media_payloads_from_docs must now decode for
+    real: 4×4, pixels equal to the first 48 ref bytes."""
+    from simplecommoncrawlextractor_spark.operators.multimodal import (
+        media_payloads_from_docs,
+    )
+    from simplecommoncrawlextractor_spark.sources import interleaved_documents
+
+    media = media_payloads_from_docs(
+        interleaved_documents(spark, "/root/testdata/sf0.001")
+    ).collect()
+    n_png = 0
+    for r in media:
+        b = bytes(r["payload"])
+        if not b.startswith(b"\x89PNG"):
+            continue
+        n_png += 1
+        w, h, feat = decode_image(b)
+        assert (w, h) == (4, 4)
+        exp = np.frombuffer((r["media_ref"] * 8).encode()[:48], dtype=np.uint8)
+        f = exp.reshape(-1, 3).astype(np.float32) / 255.0
+        assert np.allclose(feat[:3], f.mean(axis=0), atol=1e-6)
+    assert n_png > 0
