@@ -22,23 +22,52 @@ from pyspark.sql import functions as F
 ROBOTS_SCHEMA = "host string, disallow_prefix string, crawl_delay int"
 
 
-def parse_robots_txt(bodies: DataFrame, host_col: str = "host", body_col: str = "body") -> DataFrame:
-    """Minimal robots.txt parser over (host, body) rows — JVM-side only:
-    split lines, keep ``Disallow:`` prefixes for User-agent: * sections
-    (simplified: any Disallow line counts) and a ``Crawl-delay``.
-    Lossy vs the full RFC 9309 but the plan shape (explode → filter →
-    aggregate per host) is the real one."""
-    lines = bodies.select(
+def parse_robots_txt(
+    bodies: DataFrame, host_col: str = "host", body_col: str = "body",
+    user_agent: str = "*",
+) -> DataFrame:
+    """robots.txt parser over (host, body) rows — JVM-side only, with
+    RFC 9309 *group* semantics: consecutive ``User-agent:`` lines form a
+    group's agent set, and the Disallow/Crawl-delay lines that follow
+    apply only if that set names ``*`` or our ``user_agent`` (exact
+    product token, case-insensitive). Rules appearing before any
+    User-agent line are treated as global (lenient; the RFC calls them
+    invalid). Plan shape: posexplode lines → window-running group ids →
+    per-group agent match → filter → aggregate per host — robots bodies
+    are tiny, so the window over (host, line-pos) never sees skew."""
+    from pyspark.sql.window import Window
+
+    raw = bodies.select(
         F.col(host_col).alias("host"),
-        F.explode(F.split(F.col(body_col), "\n")).alias("line"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "line"),
     )
-    dis = lines.filter(F.col("line").rlike(r"(?i)^\s*disallow\s*:")).select(
+    is_ua = F.col("line").rlike(r"(?i)^\s*user-agent\s*:")
+    w = Window.partitionBy("host").orderBy("pos")
+    # a group starts at a UA line not directly preceded by another UA line
+    starts = (is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))).cast("int")
+    lines = raw.select(
+        "host", "pos", "line", is_ua.alias("is_ua"),
+        F.sum(starts).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("grp"),
+    )
+    ua_ok = F.lower(
+        F.trim(F.regexp_replace(F.col("line"), r"(?i)^\s*user-agent\s*:", ""))
+    ).isin("*", user_agent.lower())
+    groups = (
+        lines.filter(F.col("is_ua"))
+        .groupBy("host", "grp")
+        .agg(F.max(ua_ok.cast("int")).alias("applies"))
+    )
+    # grp 0 (no preceding UA line) has no groups row → applies defaults on
+    scoped = lines.join(groups, ["host", "grp"], "left").filter(
+        F.coalesce(F.col("applies"), F.lit(1)) == 1
+    )
+    dis = scoped.filter(F.col("line").rlike(r"(?i)^\s*disallow\s*:")).select(
         "host",
         F.trim(F.regexp_replace(F.col("line"), r"(?i)^\s*disallow\s*:", "")).alias(
             "disallow_prefix"
         ),
     ).filter(F.col("disallow_prefix") != "")
-    delay = lines.filter(F.col("line").rlike(r"(?i)^\s*crawl-delay\s*:")).select(
+    delay = scoped.filter(F.col("line").rlike(r"(?i)^\s*crawl-delay\s*:")).select(
         "host",
         F.trim(F.regexp_replace(F.col("line"), r"(?i)^\s*crawl-delay\s*:", ""))
         .cast("int")

@@ -177,3 +177,36 @@ def test_auto_robots_resume_preserves_rules_and_order(spark, tmp_path):
         return [tuple(r) for r in s2.crawl_order().collect()]
 
     assert run(str(tmp_path / "a"), 1) == run(str(tmp_path / "b"), 3)
+
+
+def test_user_agent_group_scoping(spark):
+    """RFC 9309 groups: only the *-group's (or our agent's) rules apply;
+    a non-matching group's Disallow/Crawl-delay lines are ignored, and
+    consecutive User-agent lines share one group."""
+    body = "\n".join([
+        "User-agent: evilbot",
+        "Disallow: /evil-only/",
+        "Crawl-delay: 99",
+        "",
+        "User-agent: ccspark",
+        "User-agent: otherbot",
+        "Disallow: /for-us/",
+        "",
+        "User-agent: *",
+        "Disallow: /everyone/",
+        "Crawl-delay: 3",
+    ])
+    bodies = spark.createDataFrame([("h1", body)], "host string, body string")
+    rules = parse_robots_txt(bodies, user_agent="ccspark").collect()
+    prefixes = {r["disallow_prefix"] for r in rules}
+    assert prefixes == {"/for-us/", "/everyone/"}
+    assert all(r["crawl_delay"] == 3 for r in rules)  # 99 was evilbot's
+
+
+def test_rules_before_any_group_are_global(spark):
+    bodies = spark.createDataFrame(
+        [("h1", "Disallow: /headerless/\nUser-agent: evilbot\nDisallow: /x/")],
+        "host string, body string",
+    )
+    prefixes = {r["disallow_prefix"] for r in parse_robots_txt(bodies).collect()}
+    assert prefixes == {"/headerless/"}
