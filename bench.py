@@ -41,7 +41,22 @@ BENCH_QUERIES = [
     "events_sessionize",
     "frontier_schedule_batch",
     "s9_wiki_external_links",
+    "dedup_simhash_prod",  # xxhash64 production path, segment-capped
 ]
+
+
+def _extra_bench_queries() -> dict:
+    """Bench-only variants not in the driver gate: the gate runs the
+    md5hex (oracle-replayable) simhash; the bench measures the xxhash64
+    production path with the same segment cap."""
+    from simplecommoncrawlextractor_spark.operators import dedup as D
+    from simplecommoncrawlextractor_spark.sources.tables import load_table
+
+    return {
+        "dedup_simhash_prod": lambda s, d: D.simhash_near_dups(
+            load_table(s, d, "documents"), max_hamming=8
+        ),
+    }
 
 
 def run_bench() -> dict:
@@ -53,7 +68,7 @@ def run_bench() -> dict:
         master=f"local[{CPUS}]",
         shuffle_partitions=int(CPUS),
     )
-    queries = entrymod.queries()
+    queries = {**entrymod.queries(), **_extra_bench_queries()}
     timings: dict[str, float] = {}
     # warm the JVM (codegen JIT) and the Arrow python workers once — the
     # steady-state number is the one that predicts 100 TB behavior; cold

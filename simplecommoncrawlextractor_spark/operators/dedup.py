@@ -296,48 +296,37 @@ def simhash64(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     )
+    # per-bit votes as 64 COLUMNS of one aggregation (not a 64-way bit
+    # explode): the old plan shuffled 64 rows per token into a
+    # (doc, bit) groupBy — 64M shuffle rows per 1M tokens; this one
+    # partial-aggregates 64 small sums map-side and shuffles one row per
+    # (doc, partition). Same math, same simhash values.
     if hash_mode == "md5hex":
         h = toks.select(F.col(id_col), F.md5("tok").alias("hx"))
-        bits = h.select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-            F.col("hx"),
-        ).select(
-            F.col(id_col),
-            "bit",
+        bit_exprs = [
             (
                 F.expr(
-                    "shiftright(cast(conv(substring(hx, cast(bit / 4 as int) + 1, 1), 16, 10) as int), "
-                    "cast(bit % 4 as int)) & 1"
+                    f"shiftright(cast(conv(substring(hx, {b // 4 + 1}, 1), 16, 10) as int), {b % 4}) & 1"
                 )
                 * 2
                 - 1
-            ).alias("vote"),
-        )
+            )
+            for b in range(64)
+        ]
     else:
         h = toks.select(F.col(id_col), F.xxhash64("tok").alias("h"))
-        bits = h.select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-            F.col("h"),
-        ).select(
-            F.col(id_col),
-            "bit",
-            # shiftright's Python API needs a literal shift — use the SQL
-            # form, which accepts a column shift amount
-            (F.expr("shiftright(h, bit) & 1") * 2 - 1).alias("vote"),
-        )
-    votes = bits.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
-    return (
-        votes.withColumn(
-            "bitval",
-            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        )
-        .groupBy(id_col)
-        .agg(F.sum("bitval").alias("simhash"))
+        bit_exprs = [
+            (F.expr(f"shiftright(h, {b}) & 1") * 2 - 1) for b in range(64)
+        ]
+    votes = h.groupBy(id_col).agg(
+        *[F.sum(e).alias(f"v{b}") for b, e in enumerate(bit_exprs)]
     )
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim + F.when(
+            F.col(f"v{b}") > 0, F.expr(f"shiftleft(cast(1 as bigint), {b})")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_near_dups(
