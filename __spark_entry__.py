@@ -346,9 +346,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact_groups"] = lambda s, d: D.exact_dedup_groups(_docs(s, d))
     # gate path: md5 sigs so the DuckDB oracle replays them bit-for-bit;
     # the production xxhash64 variant (8-byte sigs, JVM-cheap) shares the
-    # exact banding plan and is pytest-equivalence-covered
+    # exact banding plan, is pytest-equivalence-covered
     # (tests/test_dedup.py::test_xxhash_mode_matches_md5_on_true_dups) and
-    # benched separately — same split for simhash below
+    # benched as dedup_minhash_prod — same split for simhash below
+    # (dedup_simhash_prod)
     q["dedup_minhash_lsh"] = lambda s, d: D.minhash_lsh_candidates(_docs(s, d))
     q["dedup_ngram_jaccard"] = lambda s, d: D.ngram_jaccard_pairs(_docs(s, d), threshold=0.05)
     q["dedup_simhash"] = lambda s, d: D.simhash_near_dups(

@@ -42,19 +42,24 @@ BENCH_QUERIES = [
     "frontier_schedule_batch",
     "s9_wiki_external_links",
     "dedup_simhash_prod",  # xxhash64 production path, segment-capped
+    "dedup_minhash_prod",  # xxhash64 production path, band-capped
 ]
 
 
 def _extra_bench_queries() -> dict:
-    """Bench-only variants not in the driver gate: the gate runs the
-    md5hex (oracle-replayable) simhash; the bench measures the xxhash64
-    production path with the same segment cap."""
+    """Bench-only variants not in the driver gate: the gate runs the md5
+    (oracle-replayable) hash modes; the bench also measures the xxhash64
+    production paths with the same caps, so a regression there is
+    caught even though they have no gate row."""
     from simplecommoncrawlextractor_spark.operators import dedup as D
     from simplecommoncrawlextractor_spark.sources.tables import load_table
 
     return {
         "dedup_simhash_prod": lambda s, d: D.simhash_near_dups(
             load_table(s, d, "documents"), max_hamming=8
+        ),
+        "dedup_minhash_prod": lambda s, d: D.minhash_lsh_candidates(
+            load_table(s, d, "documents"), hash_mode="xxhash64"
         ),
     }
 

@@ -133,14 +133,7 @@ def apply_mapper_chain(c: Column | str, rules: list[dict]) -> Column:
     array collapses to empty)."""
     c = F.col(c) if isinstance(c, str) else c
     for r in rules:
-        if r["kind"] == "filter":
-            c = filter_field_mapper(c, r["find"])
-        elif r["kind"] == "capture":
-            c = F.when(
-                c.isNull(), F.lit(None).cast("string")
-            ).otherwise(capture_field_mapper(c, r["find"], r["replace"], r["fail_policy"]))
-        else:
-            c = identity_field_mapper(c)
+        c = _rule_expr(c, r)
     return c
 
 

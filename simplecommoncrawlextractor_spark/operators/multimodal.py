@@ -187,39 +187,52 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray] | None:
             break
     if w is None or len(idat) < 3:
         return None
+    stride = w * channels
+    need = (stride + 1) * h
     try:
-        raw = zlib.decompressobj(-15).decompress(idat[2:])
+        # max_length bounds the inflate to the bytes the image can use: a
+        # crafted 65 KB "zip bomb" IDAT would otherwise expand ~1000:1
+        # inside the executor before the size check ever ran
+        raw = zlib.decompressobj(-15).decompress(idat[2:], need)
     except zlib.error:
         return None
-    stride = w * channels
-    if len(raw) < (stride + 1) * h:
+    if len(raw) < need:
         return None
-    buf = np.frombuffer(raw, dtype=np.uint8, count=(stride + 1) * h)
+    buf = np.frombuffer(raw, dtype=np.uint8, count=need)
     recon = np.zeros((h, stride), dtype=np.uint8)
+    zero_row = [0] * stride
     for r in range(h):
         f = int(buf[r * (stride + 1)])
-        line = buf[r * (stride + 1) + 1 : (r + 1) * (stride + 1)].astype(np.int32)
-        prev = recon[r - 1].astype(np.int32) if r else np.zeros(stride, np.int32)
+        line = buf[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
         if f == 0:
-            rec = line
+            recon[r] = line
         elif f == 2:  # Up — vectorized (no intra-row dependency)
-            rec = (line + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub/Average/Paeth carry a left dependency
-            rec = np.empty(stride, dtype=np.int32)
-            for i in range(stride):
-                a = int(rec[i - channels]) if i >= channels else 0
-                b = int(prev[i])
-                c = int(prev[i - channels]) if i >= channels else 0
-                if f == 1:
-                    v = line[i] + a
-                elif f == 3:
-                    v = line[i] + ((a + b) >> 1)
-                else:
-                    v = line[i] + _paeth(a, b, c)
-                rec[i] = v & 0xFF
+            recon[r] = (line.astype(np.int32) + recon[r - 1]) & 0xFF
+        elif f == 1:
+            # Sub is a per-channel prefix sum mod 256 — vectorized
+            recon[r] = (
+                np.cumsum(line.reshape(w, channels).astype(np.int64), axis=0) & 0xFF
+            ).reshape(stride)
+        elif f in (3, 4):
+            # Average/Paeth carry a nonlinear left dependency (floor-div /
+            # abs comparisons) — no closed form, so a Python loop; plain
+            # int lists beat numpy scalar indexing ~5× here. Worst case is
+            # bounded by the 2^24-pixel cap above.
+            prev = recon[r - 1].tolist() if r else zero_row
+            ln = line.tolist()
+            rec = [0] * stride
+            if f == 3:
+                for i in range(stride):
+                    a = rec[i - channels] if i >= channels else 0
+                    rec[i] = (ln[i] + ((a + prev[i]) >> 1)) & 0xFF
+            else:
+                for i in range(stride):
+                    a = rec[i - channels] if i >= channels else 0
+                    c = prev[i - channels] if i >= channels else 0
+                    rec[i] = (ln[i] + _paeth(a, prev[i], c)) & 0xFF
+            recon[r] = rec
         else:
             return None
-        recon[r] = rec.astype(np.uint8)
     px = recon.reshape(h, w, channels)[:, :, :3].reshape(-1, 3)
     return w, h, _pixel_features(px, w, h)
 

@@ -28,37 +28,61 @@ def parse_robots_txt(
 ) -> DataFrame:
     """robots.txt parser over (host, body) rows — JVM-side only, with
     RFC 9309 *group* semantics: consecutive ``User-agent:`` lines form a
-    group's agent set, and the Disallow/Crawl-delay lines that follow
-    apply only if that set names ``*`` or our ``user_agent`` (exact
-    product token, case-insensitive). Rules appearing before any
-    User-agent line are treated as global (lenient; the RFC calls them
-    invalid). Plan shape: posexplode lines → window-running group ids →
-    per-group agent match → filter → aggregate per host — robots bodies
-    are tiny, so the window over (host, line-pos) never sees skew."""
+    group's agent set; if any group names our ``user_agent`` (exact
+    product token, case-insensitive), ONLY those groups' Disallow/
+    Crawl-delay lines apply — the ``*`` groups apply only when no
+    specific group matches (RFC 9309 §2.2.1: the most specific match
+    wins, '*' is the fallback, never a union). Rules appearing before
+    any User-agent line are treated as global (lenient; the RFC calls
+    them invalid). Plan shape: posexplode lines → window-running group
+    ids per (host, body) → per-group agent match → filter → aggregate
+    per host — robots bodies are tiny, so the windows never see skew.
+    Duplicate hosts (e.g. the same host fetched twice) are safe: groups
+    are scoped per input ROW, never across bodies."""
     from pyspark.sql.window import Window
 
+    # per-BODY id so two bodies for one host can never interleave their
+    # line positions inside the group windows — assigned in its own
+    # projection BEFORE the explode (inside the same select, the id would
+    # be evaluated once per exploded line, not once per body)
     raw = bodies.select(
         F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "line"),
+        F.monotonically_increasing_id().alias("body_id"),
+        F.col(body_col).alias("__body"),
+    ).select(
+        "host", "body_id",
+        F.posexplode(F.split(F.col("__body"), "\n")).alias("pos", "line"),
     )
     is_ua = F.col("line").rlike(r"(?i)^\s*user-agent\s*:")
-    w = Window.partitionBy("host").orderBy("pos")
+    w = Window.partitionBy("host", "body_id").orderBy("pos")
     # a group starts at a UA line not directly preceded by another UA line
     starts = (is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))).cast("int")
     lines = raw.select(
-        "host", "pos", "line", is_ua.alias("is_ua"),
+        "host", "body_id", "pos", "line", is_ua.alias("is_ua"),
         F.sum(starts).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("grp"),
     )
-    ua_ok = F.lower(
+    ua_val = F.lower(
         F.trim(F.regexp_replace(F.col("line"), r"(?i)^\s*user-agent\s*:", ""))
-    ).isin("*", user_agent.lower())
+    )
     groups = (
         lines.filter(F.col("is_ua"))
-        .groupBy("host", "grp")
-        .agg(F.max(ua_ok.cast("int")).alias("applies"))
+        .groupBy("host", "body_id", "grp")
+        .agg(
+            F.max((ua_val == user_agent.lower()).cast("int")).alias("specific"),
+            F.max((ua_val == "*").cast("int")).alias("star"),
+        )
+    )
+    # '*' is the fallback: it applies only when the BODY has no group
+    # naming our agent
+    body_w = Window.partitionBy("host", "body_id")
+    groups = groups.withColumn(
+        "applies",
+        F.when(F.max("specific").over(body_w) == 1, F.col("specific")).otherwise(
+            F.col("star")
+        ),
     )
     # grp 0 (no preceding UA line) has no groups row → applies defaults on
-    scoped = lines.join(groups, ["host", "grp"], "left").filter(
+    scoped = lines.join(groups, ["host", "body_id", "grp"], "left").filter(
         F.coalesce(F.col("applies"), F.lit(1)) == 1
     )
     dis = scoped.filter(F.col("line").rlike(r"(?i)^\s*disallow\s*:")).select(

@@ -52,7 +52,9 @@ _CELL = "(?:%s|%s)" % (_QC, _UC)
 _TUPLE_RE = re.compile(
     r"\((?:%s,){%d}(%s|%s)(?:,%s)*\)" % (_CELL, URL_COLUMN, _QC, _UC, _CELL)
 )
-_UNESC_RE = re.compile(r"\\(.)")
+# DOTALL: the escaped char may be a newline ('\<LF>' in a cell must
+# unescape to LF exactly like the char machine emits it)
+_UNESC_RE = re.compile(r"\\(.)", re.DOTALL)
 
 
 def _cells_postprocess(cells: list[str]) -> list[str]:

@@ -197,3 +197,32 @@ def test_spark_synthesized_png_is_real(spark):
         f = exp.reshape(-1, 3).astype(np.float32) / 255.0
         assert np.allclose(feat[:3], f.mean(axis=0), atol=1e-6)
     assert n_png > 0
+
+
+def test_png_zip_bomb_is_bounded():
+    """A 1×1 PNG whose IDAT inflates to 64 MB must decode with bounded
+    memory (max_length on the inflate) — the trailing inflate output past
+    the image's byte budget is simply never produced."""
+    import binascii
+    import struct as st
+    import tracemalloc
+    import zlib
+
+    def chunk(t, d):
+        return st.pack(">I", len(d)) + t + d + st.pack(">I", binascii.crc32(t + d))
+
+    ihdr = st.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    # 4 real bytes (filter 0 + one RGB pixel) then 64 MB of zero filler
+    idat = zlib.compress(b"\x00\x0a\x14\x1e" + b"\x00" * (64 << 20), 9)
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+    assert len(payload) < 200_000  # the bomb compresses tiny
+    tracemalloc.start()
+    w, h, feat = decode_image(payload)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert (w, h) == (1, 1)
+    assert np.allclose(feat[:3], [10 / 255, 20 / 255, 30 / 255], atol=1e-6)
+    assert peak < 8 << 20, f"inflate not bounded: peak {peak} bytes"

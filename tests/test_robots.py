@@ -180,8 +180,9 @@ def test_auto_robots_resume_preserves_rules_and_order(spark, tmp_path):
 
 
 def test_user_agent_group_scoping(spark):
-    """RFC 9309 groups: only the *-group's (or our agent's) rules apply;
-    a non-matching group's Disallow/Crawl-delay lines are ignored, and
+    """RFC 9309 groups: a group naming our agent WINS — the '*' group is
+    the fallback, not a union (§2.2.1 most-specific match); a
+    non-matching group's Disallow/Crawl-delay lines are ignored, and
     consecutive User-agent lines share one group."""
     body = "\n".join([
         "User-agent: evilbot",
@@ -199,8 +200,35 @@ def test_user_agent_group_scoping(spark):
     bodies = spark.createDataFrame([("h1", body)], "host string, body string")
     rules = parse_robots_txt(bodies, user_agent="ccspark").collect()
     prefixes = {r["disallow_prefix"] for r in rules}
-    assert prefixes == {"/for-us/", "/everyone/"}
-    assert all(r["crawl_delay"] == 3 for r in rules)  # 99 was evilbot's
+    assert prefixes == {"/for-us/"}  # not /everyone/: specific group wins
+    assert all(r["crawl_delay"] == 0 for r in rules)  # 99=evilbot, 3=fallback
+    # an agent with NO specific group falls back to '*'
+    star = parse_robots_txt(bodies, user_agent="someother").collect()
+    assert {r["disallow_prefix"] for r in star} == {"/everyone/"}
+    assert all(r["crawl_delay"] == 3 for r in star)
+
+
+def test_whitelisting_specific_group_overrides_star_block(spark):
+    """The classic whitelist: '*' blocks everything, our agent's group
+    allows all — the union reading would starve the crawler on exactly
+    the hosts that whitelisted it."""
+    body = "User-agent: *\nDisallow: /\n\nUser-agent: ccspark\nDisallow:"
+    bodies = spark.createDataFrame([("h1", body)], "host string, body string")
+    rules = parse_robots_txt(bodies, user_agent="ccspark").collect()
+    assert all(r["disallow_prefix"] is None for r in rules) or rules == []
+
+
+def test_duplicate_host_bodies_do_not_cross_contaminate(spark):
+    """Two (host, body) rows for one host (http+https fetch) must keep
+    their groups separate: body B's rules must not land in body A's
+    evilbot group."""
+    a = "User-agent: evilbot\nDisallow: /evil/"
+    b = "User-agent: *\nDisallow: /all/"
+    bodies = spark.createDataFrame(
+        [("h1", a), ("h1", b)], "host string, body string"
+    )
+    prefixes = {r["disallow_prefix"] for r in parse_robots_txt(bodies).collect()}
+    assert prefixes == {"/all/"}
 
 
 def test_rules_before_any_group_are_global(spark):

@@ -250,3 +250,20 @@ def test_staged_chain_matches_expression_chain(spark):
     expr_out = [r[0] for r in df.select(apply_mapper_chain(F.col("u"), rules).alias("u")).collect()]
     staged_out = [r[0] for r in apply_mapper_chain_staged(df, "u", rules).collect()]
     assert staged_out == expr_out
+
+
+def test_fast_lexer_escaped_newline_matches_char_machine():
+    """'\\<LF>' inside a quoted cell must unescape to a literal LF on the
+    fast path exactly as the char machine emits it (regression: _UNESC_RE
+    without DOTALL skipped the newline)."""
+    from simplecommoncrawlextractor_spark.sources.wikidump import (
+        _lex_lines_batch,
+        _lex_values_line_fast,
+        _lex_values_line_slow,
+    )
+
+    line = "INSERT INTO t VALUES (1,0,'a','http://x/a\\\nb','i');"
+    slow = _lex_values_line_slow(line)
+    assert slow == ["http://x/a\nb"]
+    assert _lex_values_line_fast(line) == slow
+    assert _lex_lines_batch([line]) == slow
