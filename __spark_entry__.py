@@ -292,12 +292,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s9_wiki_external_links"] = s9_wiki_external_links
 
-    def s6_shard_manifest(s, d):
-        from simplecommoncrawlextractor_spark.sources.shards import shard_manifest
-
-        return shard_manifest(s, "CC-MAIN-2026-08", n_shards=300).orderBy("shard_num")
-
-    q["s6_shard_manifest"] = s6_shard_manifest
+    # (shard_manifest itself is a spark.range projection — golden-tested
+    # in tests/test_shards.py and exercised transitively by the oracled
+    # s6_s7_shard_fetch_probe below, which derives from the same
+    # manifest; its standalone gate entry was retired to hold the
+    # 50-entry roster when dedup_components joined)
 
     def s6_s7_shard_fetch_probe(s, d):
         """S6 download + S7 HEAD probe in one oracled pass: fetch every
@@ -355,6 +354,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash"] = lambda s, d: D.simhash_near_dups(
         _docs(s, d), max_hamming=8, hash_mode="md5hex"
     )
+
+    def dedup_components(s, d):
+        """Transitive near-dup clustering: LSH candidate pairs →
+        connected components (min-label propagation) → one component id
+        per document, singletons included. The oracle recomputes the
+        SAME pair set (shared minhash CTEs) and closes it transitively
+        with a recursive CTE — so the gate checks candidate generation
+        AND the closure."""
+        docs = _docs(s, d)
+        pairs = D.minhash_lsh_candidates(docs)
+        return D.connected_components(pairs, docs).orderBy("doc_id")
+
+    q["dedup_components"] = dedup_components
     q["text_token_hist"] = lambda s, d: T.token_count_hist(_docs(s, d))
     q["text_quality"] = lambda s, d: T.quality_table(_docs(s, d))
     q["text_lang_id"] = lambda s, d: T.lang_id_table(_docs(s, d))
@@ -539,12 +551,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # frontier centerpiece (oracled: generator-replay)
         "frontier_harvest_by_host",
         # sources (oracled)
-        "s6_shard_manifest", "s6_s7_shard_fetch_probe",
-        "s9_wiki_external_links",
+        "s6_s7_shard_fetch_probe", "s9_wiki_external_links",
         # dedup + text (oracled)
         "dedup_exact_groups", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "dedup_simhash", "text_token_hist", "text_quality", "text_lang_id",
-        "text_fingerprint", "text_token_bpe",
+        "dedup_simhash", "dedup_components", "text_token_hist",
+        "text_quality", "text_lang_id", "text_fingerprint", "text_token_bpe",
         # events (oracled)
         "events_hourly_counts", "events_sessionize",
         # similarity (oracled)
@@ -682,13 +693,6 @@ def oracle_sql() -> dict[str, str]:
         "'ext:' || regexp_extract(url, '\\.(html|pdf)$', 1) ELSE url END AS ext_or_url "
         "FROM cdx"
     )
-    o["s6_shard_manifest"] = (
-        "SELECT CAST(i AS INT) AS shard_num, "
-        "'https://commoncrawl.s3.amazonaws.com/cc-index/collections/CC-MAIN-2026-08/indexes/cdx-' "
-        "|| lpad(CAST(i AS VARCHAR), 5, '0') || '.gz' AS shard_url, "
-        "'CC-MAIN-2026-08-cdx-' || lpad(CAST(i AS VARCHAR), 5, '0') || '.gz' AS output_name "
-        "FROM range(300) t(i) ORDER BY shard_num"
-    )
     # S6+S7 end-to-end: simulated_transport writes 40+(num%23) fixed
     # 75-byte lines as level-0 gzip (23 framing bytes), so n_bytes and the
     # HEAD Content-Length are the same closed form of the shard number
@@ -723,9 +727,10 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents GROUP BY 1 ORDER BY fp"
     )
     # band buckets above the cap are skipped (minhash_lsh_candidates
-    # max_band_bucket=256) — mirrored here so the gate tests the cap too
-    o["dedup_minhash_lsh"] = f"""
-WITH {_SHINGLE_CTE},
+    # max_band_bucket=256) — mirrored here so the gate tests the cap too.
+    # The CTE chain is shared with dedup_components, which closes the
+    # same pair set transitively.
+    _MINHASH_CTES = f"""{_SHINGLE_CTE},
 base AS (SELECT doc_id, md5(shingle) AS h0 FROM sh),
 saltsh AS (
   SELECT doc_id, salt, md5(CAST(salt AS STRING) || h0) AS h
@@ -738,10 +743,27 @@ band AS (
   FROM sig GROUP BY 1, 2
 ),
 bkeep AS (SELECT band, band_key FROM band GROUP BY 1, 2 HAVING count(*) <= 256),
-bk AS (SELECT band.* FROM band JOIN bkeep USING (band, band_key))
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bk a JOIN bk b USING (band, band_key)
-WHERE a.doc_id < b.doc_id ORDER BY 1, 2
+bk AS (SELECT band.* FROM band JOIN bkeep USING (band, band_key))"""
+    _MINHASH_PAIRS = (
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM bk a JOIN bk b USING (band, band_key) WHERE a.doc_id < b.doc_id"
+    )
+    o["dedup_minhash_lsh"] = f"WITH {_MINHASH_CTES}\n{_MINHASH_PAIRS} ORDER BY 1, 2"
+    # transitive closure of the same pair set: recursive reachability,
+    # component = min reachable id (UNION dedup terminates the recursion)
+    o["dedup_components"] = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+pairs AS ({_MINHASH_PAIRS}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY 1 ORDER BY 1
 """.strip()
     # shingles with document frequency above the cap are dropped before the
     # self-join (ngram_jaccard_pairs max_doc_freq=128); sizes still count

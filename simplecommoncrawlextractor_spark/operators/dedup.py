@@ -399,3 +399,68 @@ def simhash_skew_report(
         )
         .orderBy(F.desc("bucket_size"), "seg", "seg_val")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs — the step a
+    training-data pipeline runs after LSH/SimHash candidate generation to
+    keep ONE representative per duplicate cluster (transitive closure:
+    A~B and B~C put A,C in one cluster even if they never collided).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round it takes the min of its own and its neighbors' labels. Rounds
+    needed = cluster diameter, which for near-dup clusters is tiny (a
+    handful); ``max_iterations`` bounds the loop and the driver-side
+    convergence check is one count per round on a localCheckpoint'd
+    frame (truncating lineage so the plan doesn't grow per round — the
+    per-round state is O(nodes), same as GraphX/GraphFrames CC; for
+    10^10-node graphs swap in the alternating large-star/small-star
+    variant, which needs the same join shape per round). Deterministic:
+    labels are data-derived mins, never partition- or order-dependent.
+
+    Returns (id_col, component) for EVERY node; singletons are their own
+    component."""
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("comp"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("comp").alias("component"))
+
+
+def dedup_representatives(
+    docs: DataFrame, components: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one doc per near-dup cluster: semi-join docs to the rows
+    whose id IS their component label (the min-id representative)."""
+    reps = components.filter(F.col(id_col) == F.col("component")).select(id_col)
+    return docs.join(reps, id_col, "left_semi")

@@ -164,3 +164,45 @@ def test_simhash_md5hex_mode_matches_xxhash_on_true_dups(spark):
         }
         assert got.get(("d0000", "d0001")) == 0, mode
         assert got.get(("d0002", "d0003")) == 0, mode
+
+
+def test_connected_components_transitive_and_singletons(spark):
+    """A~B and B~C cluster A,B,C even when A,C never collided; separate
+    clusters stay separate; untouched nodes are their own component; and
+    dedup_representatives keeps exactly one doc per cluster."""
+    from simplecommoncrawlextractor_spark.operators.dedup import (
+        connected_components,
+        dedup_representatives,
+    )
+
+    pairs = spark.createDataFrame(
+        [("d0", "d1"), ("d1", "d2"), ("d2", "d3"), ("d5", "d6")],
+        "id_a string, id_b string",
+    )
+    nodes = spark.createDataFrame([(f"d{i}",) for i in range(8)], "doc_id string")
+    comp = connected_components(pairs, nodes)
+    got = {r["doc_id"]: r["component"] for r in comp.collect()}
+    assert got == {
+        "d0": "d0", "d1": "d0", "d2": "d0", "d3": "d0",
+        "d4": "d4", "d5": "d5", "d6": "d5", "d7": "d7",
+    }
+    docs = nodes.withColumn("text", F.col("doc_id"))
+    reps = {r["doc_id"] for r in dedup_representatives(docs, comp).collect()}
+    assert reps == {"d0", "d4", "d5", "d7"}
+
+
+def test_connected_components_deep_chain_converges(spark):
+    """A 12-node path graph needs ~diameter rounds — the loop must reach
+    the fixpoint, label everything with the chain's min id, and stop."""
+    from simplecommoncrawlextractor_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(n - 1)],
+        "id_a string, id_b string",
+    )
+    nodes = spark.createDataFrame([(f"n{i:02d}",) for i in range(n)], "doc_id string")
+    got = {r["doc_id"]: r["component"] for r in connected_components(pairs, nodes).collect()}
+    assert set(got.values()) == {"n00"}
