@@ -1,0 +1,173 @@
+"""Repetition / boilerplate quality signals and sub-document dedup.
+
+Training-data additions beyond the reference (it treats payloads as opaque
+bytes — cc/warc/Extractor.java:110-139 only sniffs them): the
+repetition-fraction family of quality filters (the Gopher/MassiveText
+heuristics: duplicate-token fraction, top n-gram fraction) and
+paragraph/segment-level exact dedup, the sub-document sibling of
+``dedup.exact_duplicate_groups``.
+
+Scale notes: every statistic is computed by explode → hash-partitioned
+groupBy with map-side partial aggregation — never a per-document O(L²)
+array scan, so a pathological 10^6-token document costs O(L) work spread
+across tasks, and a boilerplate segment duplicated across 10^8 documents
+collapses to one row per partition in the partial agg before it shuffles.
+All ratios are emitted as exact integer basis points ((10000*x) div y) so
+results are hash-stable and bit-replayable in any ANSI engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WS = r"\s+"
+
+
+def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return (
+        docs.select(
+            id_col, F.posexplode(F.split(F.col(text_col), _WS)).alias("pos", "tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+
+
+def repetition_report(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition statistics (word level):
+
+    - n_tokens, n_distinct
+    - dup_token_bp:   10000·(n_tokens − n_distinct) div n_tokens
+    - top_unigram_bp: 10000·(count of the most frequent token) div n_tokens
+    - top_bigram_bp:  10000·(count of the most frequent adjacent pair)
+                      div (n_tokens − 1); 0 when the doc has < 2 tokens
+    - dup_bigram_bp:  10000·(bigram occurrences whose pair occurs more
+                      than once) div (n_tokens − 1)
+
+    A high dup/top fraction marks boilerplate and degenerate generations —
+    the MassiveText repetition gates. Integer basis points, ties need no
+    break (counts only). Documents with zero tokens have no statistics and
+    are absent from the report (filter them with the length gates first).
+    """
+    toks = _tokens(docs, text_col, id_col)
+    uni = toks.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    uni_doc = uni.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_uni"),
+    )
+    # adjacent pairs straight from the split array: no window/lead shuffle
+    words = F.filter(F.split(F.col(text_col), _WS), lambda x: x != "")
+    n = F.size(words)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(words, F.lit(1), (n - 1)),
+            F.slice(words, F.lit(2), (n - 1)),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = (
+        docs.select(id_col, F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    bi_doc = bi.groupBy(id_col).agg(
+        F.max("c").alias("top_bi"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup_bi"),
+    )
+    out = uni_doc.join(bi_doc, id_col, "left")
+    bp = lambda num, den: F.expr(f"(10000 * {num}) div {den}")  # noqa: E731
+    return out.select(
+        id_col,
+        F.col("n_tokens"),
+        F.col("n_distinct"),
+        bp("(n_tokens - n_distinct)", "n_tokens").alias("dup_token_bp"),
+        bp("top_uni", "n_tokens").alias("top_unigram_bp"),
+        F.coalesce(bp("top_bi", "(n_tokens - 1)"), F.lit(0)).alias("top_bigram_bp"),
+        F.coalesce(bp("dup_bi", "(n_tokens - 1)"), F.lit(0)).alias("dup_bigram_bp"),
+    )
+
+
+def _segments(
+    docs: DataFrame, sep: str, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, seg_pos, segment) rows; blank/whitespace-only segments dropped
+    (they are formatting, not content — and a corpus-wide '' group would
+    be the degenerate hot key)."""
+    return (
+        docs.select(
+            id_col,
+            F.posexplode(F.split(F.col(text_col), sep)).alias("seg_pos", "segment"),
+        )
+        .filter(F.trim(F.col("segment")) != "")
+    )
+
+
+def segment_duplicate_groups(
+    docs: DataFrame,
+    sep: str = r"\n\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-duplicate groups at segment (paragraph) granularity: for every
+    segment text occurring more than once corpus-wide, its occurrence count
+    and the number of distinct documents carrying it. The segment itself is
+    the group key (hash-partitioned groupBy; at 10^10 scale swap the key for
+    xxhash64(segment) and keep one exemplar via min_by, same plan shape)."""
+    segs = _segments(docs, sep, text_col, id_col)
+    return (
+        segs.groupBy("segment")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
+def remove_duplicate_segments(
+    docs: DataFrame,
+    sep: str = r"\n\n",
+    join_sep: str = "\n\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-global segment dedup: every repeated segment keeps exactly ONE
+    occurrence — the (min id, min position) one, a data-derived winner so
+    any partitioning yields the same corpus — and documents are reassembled
+    in original segment order (id, text); docs left with no segments keep
+    an empty text.
+
+    Plan: explode → min_by partial agg per segment (O(distinct) shuffle
+    rows, so a 10^8-fold boilerplate segment is ONE row after the map-side
+    combine) → semi-join winners back → collect_list over sorted structs.
+    """
+    segs = _segments(docs, sep, text_col, id_col)
+    winner = F.struct(F.col(id_col).alias("i"), F.col("seg_pos").alias("p"))
+    keep = (
+        segs.groupBy("segment")
+        .agg(F.min(winner).alias("w"))
+        .select(
+            F.col("w.i").alias(id_col), F.col("w.p").alias("seg_pos"), "segment"
+        )
+    )
+    kept = segs.join(keep, [id_col, "seg_pos", "segment"], "left_semi")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            join_sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("seg_pos"), F.col("segment")))
+                ),
+                lambda s: s["segment"],
+            ),
+        ).alias(text_col)
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(id_col, F.coalesce(text_col, F.lit("")).alias(text_col))
+    )

@@ -1,0 +1,172 @@
+"""Repetition-quality signals and segment-level dedup, each replayed
+bit-for-bit in DuckDB inside the test (the gate roster is full, so the
+oracle lives here instead of __spark_entry__.oracle_sql)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from simplecommoncrawlextractor_spark.operators.textquality import (
+    remove_duplicate_segments,
+    repetition_report,
+    segment_duplicate_groups,
+)
+
+SEP = "\n\n"
+
+
+@pytest.fixture(scope="module")
+def para_docs(spark, tmp_path_factory):
+    """Deterministic paragraph corpus: 40 docs × 4 paragraphs; every 3rd
+    paragraph is the shared boilerplate 'para-common-<k%5>' (so each of the
+    5 boilerplates recurs across many docs), the rest are unique."""
+    rows = []
+    for d in range(40):
+        paras = []
+        for j in range(4):
+            k = d * 4 + j
+            if k % 3 == 0:
+                paras.append(f"para-common-{k % 5} shared text")
+            else:
+                paras.append(f"para-unique-{d}-{j} body {k}")
+        rows.append((d, SEP.join(paras)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    path = str(tmp_path_factory.mktemp("paras") / "paras.parquet")
+    pdf.to_parquet(path)
+    return path
+
+
+def test_repetition_report_matches_duckdb(spark, sf_dir):
+    path = f"{sf_dir}/documents.parquet"
+    docs = spark.read.parquet(path)
+    got = sorted(
+        tuple(r) for r in repetition_report(docs).collect()
+    )
+    want = sorted(
+        tuple(int(v) for v in row)
+        for row in duckdb.sql(f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+    FROM read_parquet('{path}')
+  ) WHERE tok <> ''
+),
+uni AS (SELECT doc_id, tok, count(*) c FROM toks GROUP BY 1, 2),
+unid AS (
+  SELECT doc_id, sum(c) n_tokens, count(*) n_distinct, max(c) top_uni
+  FROM uni GROUP BY 1
+),
+warr AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') w
+  FROM read_parquet('{path}')
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) bg
+  FROM warr WHERE len(w) >= 2
+),
+bic AS (SELECT doc_id, bg, count(*) c FROM bg GROUP BY 1, 2),
+bid AS (
+  SELECT doc_id, max(c) top_bi,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) dup_bi
+  FROM bic GROUP BY 1
+)
+SELECT u.doc_id, n_tokens, n_distinct,
+  (10000 * (n_tokens - n_distinct)) // n_tokens AS dup_token_bp,
+  (10000 * top_uni) // n_tokens AS top_unigram_bp,
+  COALESCE(CASE WHEN n_tokens > 1 THEN (10000 * top_bi) // (n_tokens - 1) END, 0)
+    AS top_bigram_bp,
+  COALESCE(CASE WHEN n_tokens > 1 THEN (10000 * dup_bi) // (n_tokens - 1) END, 0)
+    AS dup_bigram_bp
+FROM unid u LEFT JOIN bid USING (doc_id)
+""").fetchall()
+    )
+    assert got == want
+
+
+def test_repetition_report_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x"), (3, "p q p q p q")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_report(df).collect()}
+    # doc 1: 4 tokens {a:3,b:1}; bigrams [a a, a a, a b] -> top 'a a'=2, dup=2
+    assert got[1]["n_tokens"] == 4 and got[1]["n_distinct"] == 2
+    assert got[1]["dup_token_bp"] == 5000
+    assert got[1]["top_unigram_bp"] == 7500
+    assert got[1]["top_bigram_bp"] == (10000 * 2) // 3
+    assert got[1]["dup_bigram_bp"] == (10000 * 2) // 3
+    # doc 2: single token -> bigram stats are 0, not div-by-zero
+    assert got[2]["top_bigram_bp"] == 0 and got[2]["dup_bigram_bp"] == 0
+    # doc 3: 'p q' x3 + 'q p' x2 -> all 5 bigram occurrences duplicated
+    assert got[3]["top_bigram_bp"] == 6000
+    assert got[3]["dup_bigram_bp"] == 10000
+
+
+def test_segment_duplicate_groups_matches_duckdb(spark, para_docs):
+    docs = spark.read.parquet(para_docs)
+    got = sorted(tuple(r) for r in segment_duplicate_groups(docs).collect())
+    want = sorted(
+        (row[0], int(row[1]), int(row[2]))
+        for row in duckdb.sql(f"""
+WITH segs AS (
+  SELECT doc_id, seg FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10) || chr(10))) seg
+    FROM read_parquet('{para_docs}')
+  ) WHERE trim(seg) <> ''
+)
+SELECT seg, count(*), count(DISTINCT doc_id)
+FROM segs GROUP BY 1 HAVING count(*) > 1
+""").fetchall()
+    )
+    assert got == want
+    assert len(got) == 5  # the five boilerplate paragraphs
+
+
+def test_remove_duplicate_segments_matches_duckdb(spark, para_docs):
+    docs = spark.read.parquet(para_docs)
+    got = sorted(tuple(r) for r in remove_duplicate_segments(docs).collect())
+    want = sorted(
+        duckdb.sql(f"""
+WITH segs AS (
+  SELECT doc_id, u.pos seg_pos, u.seg FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, len(string_split(text, chr(10) || chr(10))) + 1),
+             i -> {{'pos': i, 'seg': string_split(text, chr(10) || chr(10))[i]}}
+           )) u
+    FROM read_parquet('{para_docs}')
+  ) WHERE trim(u.seg) <> ''
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_pos) rn
+    FROM segs
+  ) WHERE rn = 1
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(seg, chr(10) || chr(10) ORDER BY seg_pos) AS text
+  FROM kept GROUP BY 1
+)
+SELECT t.doc_id, COALESCE(r.text, '') AS text
+FROM read_parquet('{para_docs}') t LEFT JOIN rebuilt r USING (doc_id)
+""").fetchall()
+    )
+    assert got == want
+    # every boilerplate paragraph survives exactly once corpus-wide
+    joined = "\n\n".join(t for _, t in got)
+    for k in range(5):
+        assert joined.count(f"para-common-{k} shared text") == 1
+
+
+def test_remove_duplicate_segments_keeps_min_doc_min_pos(spark):
+    df = spark.createDataFrame(
+        [(5, "dup\n\nb5"), (2, "a2\n\ndup"), (9, "dup\n\ndup")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in remove_duplicate_segments(df).collect()}
+    # 'dup' survives only at its (min doc_id=2, min pos) occurrence
+    assert got[2] == "a2\n\ndup"
+    assert got[5] == "b5"
+    assert got[9] == ""
