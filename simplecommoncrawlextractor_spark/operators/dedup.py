@@ -424,12 +424,23 @@ def connected_components(
     labels are data-derived mins, never partition- or order-dependent.
 
     Returns (id_col, component) for EVERY node; singletons are their own
-    component."""
+    component. Raises if the labeling has not converged after
+    ``max_iterations`` — an exhausted loop would silently return an
+    inconsistent partition (node x labeled y while y is labeled z) and
+    leak duplicates past ``dedup_representatives``; a diameter that large
+    means the candidate graph is chaining, and the caller should raise
+    the bound (or tighten the pair threshold)."""
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    # materialize the edge list once: the propagation loop consumes it
+    # every round (and the union consumes `pairs` twice per evaluation),
+    # so an unpersisted candidate-pair plan — LSH shingle explode, band
+    # self-join — would be re-executed ~2x per round
+    edges = edges.localCheckpoint()
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("comp"))
     labels = labels.localCheckpoint()
+    changed = -1
     for _ in range(max_iterations):
         nbr = (
             edges.join(labels, edges.dst == labels.node)
@@ -454,6 +465,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); the candidate "
+            "graph has a longer chain than max_iterations — raise the bound"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("comp").alias("component"))
 
 

@@ -24,15 +24,6 @@ from pyspark.sql import functions as F
 _WS = r"\s+"
 
 
-def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    return (
-        docs.select(
-            id_col, F.posexplode(F.split(F.col(text_col), _WS)).alias("pos", "tok")
-        )
-        .filter(F.col("tok") != "")
-    )
-
-
 def repetition_report(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -51,14 +42,11 @@ def repetition_report(
     break (counts only). Documents with zero tokens have no statistics and
     are absent from the report (filter them with the length gates first).
     """
-    toks = _tokens(docs, text_col, id_col)
-    uni = toks.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
-    uni_doc = uni.groupBy(id_col).agg(
-        F.sum("c").alias("n_tokens"),
-        F.count("*").alias("n_distinct"),
-        F.max("c").alias("top_uni"),
-    )
-    # adjacent pairs straight from the split array: no window/lead shuffle
+    # tokenize ONCE: unigrams and adjacent pairs (zip_with over the same
+    # split array — no window/lead shuffle) are tagged and exploded as one
+    # gram stream, so the text is scanned/split a single time and both
+    # count families share one (id, kind, gram) shuffle with map-side
+    # partial aggregation
     words = F.filter(F.split(F.col(text_col), _WS), lambda x: x != "")
     n = F.size(words)
     bigrams = F.when(
@@ -69,16 +57,23 @@ def repetition_report(
             lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bi = (
-        docs.select(id_col, F.explode(bigrams).alias("bg"))
-        .groupBy(id_col, "bg")
+    tag = lambda k: lambda g: F.struct(F.lit(k).alias("k"), g.alias("g"))  # noqa: E731
+    grams = F.concat(F.transform(words, tag("u")), F.transform(bigrams, tag("b")))
+    cnt = (
+        docs.select(id_col, F.explode(grams).alias("x"))
+        .groupBy(id_col, F.col("x.k").alias("k"), F.col("x.g").alias("g"))
         .agg(F.count("*").alias("c"))
     )
-    bi_doc = bi.groupBy(id_col).agg(
-        F.max("c").alias("top_bi"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup_bi"),
+    is_u, is_b = F.col("k") == "u", F.col("k") == "b"
+    out = cnt.groupBy(id_col).agg(
+        F.sum(F.when(is_u, F.col("c")).otherwise(F.lit(0))).alias("n_tokens"),
+        F.sum(F.when(is_u, F.lit(1)).otherwise(F.lit(0))).alias("n_distinct"),
+        F.max(F.when(is_u, F.col("c"))).alias("top_uni"),
+        F.max(F.when(is_b, F.col("c"))).alias("top_bi"),
+        F.sum(
+            F.when(is_b & (F.col("c") > 1), F.col("c")).otherwise(F.lit(0))
+        ).alias("dup_bi"),
     )
-    out = uni_doc.join(bi_doc, id_col, "left")
     bp = lambda num, den: F.expr(f"(10000 * {num}) div {den}")  # noqa: E731
     return out.select(
         id_col,
@@ -86,8 +81,14 @@ def repetition_report(
         F.col("n_distinct"),
         bp("(n_tokens - n_distinct)", "n_tokens").alias("dup_token_bp"),
         bp("top_uni", "n_tokens").alias("top_unigram_bp"),
-        F.coalesce(bp("top_bi", "(n_tokens - 1)"), F.lit(0)).alias("top_bigram_bp"),
-        F.coalesce(bp("dup_bi", "(n_tokens - 1)"), F.lit(0)).alias("dup_bigram_bp"),
+        # single-token docs have no bigrams: guard the n_tokens-1 divisor
+        # (ANSI mode turns div-by-zero into an error, not NULL)
+        F.coalesce(
+            F.when(F.col("n_tokens") > 1, bp("top_bi", "(n_tokens - 1)")), F.lit(0)
+        ).alias("top_bigram_bp"),
+        F.coalesce(
+            F.when(F.col("n_tokens") > 1, bp("dup_bi", "(n_tokens - 1)")), F.lit(0)
+        ).alias("dup_bigram_bp"),
     )
 
 

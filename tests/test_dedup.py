@@ -206,3 +206,28 @@ def test_connected_components_deep_chain_converges(spark):
     nodes = spark.createDataFrame([(f"n{i:02d}",) for i in range(n)], "doc_id string")
     got = {r["doc_id"]: r["component"] for r in connected_components(pairs, nodes).collect()}
     assert set(got.values()) == {"n00"}
+
+
+def test_connected_components_long_chain_converges_or_raises(spark):
+    """A 12-doc chain (doc_i ~ doc_{i+1} only) has diameter 11: with a
+    tight iteration bound the propagation MUST raise rather than return a
+    split/inconsistent labeling; with enough rounds all 12 collapse to one
+    component."""
+    import pytest as _pytest
+
+    from simplecommoncrawlextractor_spark.operators.dedup import (
+        connected_components,
+    )
+
+    ids = [f"d{i:02d}" for i in range(12)]
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(11)], "id_a string, id_b string"
+    )
+    nodes = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, nodes, max_iterations=3)
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs, nodes, max_iterations=15).collect()
+    }
+    assert set(got.values()) == {"d00"}
