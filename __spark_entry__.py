@@ -706,7 +706,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["s9_wiki_external_links"] = oracle_cte(
-        "SELECT regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^@/]*@)?([^/:?#]+)', 1) AS host, url "
+        "SELECT regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^@/?#]*@)?([^/:?#]+)', 1) AS host, url "
         "FROM (SELECT CASE WHEN rec_id % 7 = 0 THEN 'http:' || regexp_replace(url, '^https?:', '') "
         "ELSE url END AS url FROM cdx) "
         "WHERE NOT regexp_matches(url, '\\.example\\.404') "

@@ -94,15 +94,29 @@ def run_bench() -> dict:
         warm_dir = SF_DIR
     for wq in ("a1_count_mimes", "frontier_schedule_batch", "ann_lsh_bucketed"):
         queries[wq](spark, warm_dir).count()
+    # per-query best-of-N: this box is multi-tenant, so a single timed pass
+    # can record a co-tenant's load spike as "our" regression (it did, in
+    # round 3). Best-of-N suppresses that; the recorded load averages make
+    # any residual noisy window visible in the artifact itself.
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+    load_before = round(os.getloadavg()[0], 2)
+    all_runs: dict[str, list[float]] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = queries[name]
-        t0 = time.time()
-        n = fn(spark, SF_DIR).count()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        best, runs, n = None, [], 0
+        for _ in range(trials):
+            t0 = time.time()
+            n = fn(spark, SF_DIR).count()
+            dt = time.time() - t0
+            runs.append(round(dt, 3))
+            if best is None or dt < best:
+                best = dt
+        timings[name] = round(best, 3)
+        all_runs[name] = runs
+        total += best
+        print(f"# {name}: best {best:.3f}s of {runs} ({n} rows)", file=sys.stderr)
+    load_after = round(os.getloadavg()[0], 2)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     return {
         "metric": "headline_queries_total_sec",
@@ -111,6 +125,10 @@ def run_bench() -> dict:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(CPUS),
+        "trials": trials,
+        "runs": all_runs,
+        "load1_before": load_before,
+        "load1_after": load_after,
     }
 
 
@@ -155,6 +173,7 @@ def run_scheduler_throughput(n_seeds: int, rounds: int) -> dict:
             "seconds": round(dt, 3),
             "urls_scheduled": scheduled,
             "urls_per_sec": round(scheduled / dt, 1),
+            "load1": round(os.getloadavg()[0], 2),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -230,6 +249,7 @@ def run_dedup_throughput(n_urls: int, trials: int = 3) -> dict:
         "best_sec": round(best, 3),
         "scheduled": n_sched,
         "urls_per_sec": round(n_urls / best, 1),
+        "load1": round(os.getloadavg()[0], 2),
     }
 
 

@@ -201,6 +201,13 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     buf = np.frombuffer(raw, dtype=np.uint8, count=need)
     recon = np.zeros((h, stride), dtype=np.uint8)
     zero_row = [0] * stride
+    # Average/Paeth decode per BYTE in Python (nonlinear left dependency —
+    # see below); a crafted all-Paeth 16M-pixel image would cost ~67M
+    # interpreter iterations inside one executor task (CPU-exhaustion on
+    # untrusted payloads). Budget the slow path: at most 4 MiB of
+    # filter-3/4 scanline bytes per image, then fall back to the stub.
+    # Vectorized filters (None/Sub/Up) keep the full 2^24-pixel cap.
+    slow_budget = 1 << 22
     for r in range(h):
         f = int(buf[r * (stride + 1)])
         line = buf[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
@@ -216,8 +223,10 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray] | None:
         elif f in (3, 4):
             # Average/Paeth carry a nonlinear left dependency (floor-div /
             # abs comparisons) — no closed form, so a Python loop; plain
-            # int lists beat numpy scalar indexing ~5× here. Worst case is
-            # bounded by the 2^24-pixel cap above.
+            # int lists beat numpy scalar indexing ~5× here.
+            slow_budget -= stride
+            if slow_budget < 0:
+                return None
             prev = recon[r - 1].tolist() if r else zero_row
             ln = line.tolist()
             rec = [0] * stride

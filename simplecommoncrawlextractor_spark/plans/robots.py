@@ -42,13 +42,20 @@ def parse_robots_txt(
     from pyspark.sql.window import Window
 
     # per-BODY id so two bodies for one host can never interleave their
-    # line positions inside the group windows — assigned in its own
-    # projection BEFORE the explode (inside the same select, the id would
-    # be evaluated once per exploded line, not once per body)
+    # line positions inside the group windows. Derived DETERMINISTICALLY
+    # from the content (not monotonically_increasing_id): `lines` feeds
+    # two branches (the groups agg and the scoped join), and a
+    # nondeterministic id re-evaluated per branch under a shuffling
+    # upstream plan would silently mis-join group scopes. Identical
+    # (host, body) pairs collide by construction, so they are deduped
+    # first — semantically a no-op (same body ⇒ same rules), and it keeps
+    # colliding rows from interleaving their line positions
     raw = bodies.select(
-        F.col(host_col).alias("host"),
-        F.monotonically_increasing_id().alias("body_id"),
-        F.col(body_col).alias("__body"),
+        F.col(host_col).alias("host"), F.col(body_col).alias("__body")
+    ).dropDuplicates(["host", "__body"]).select(
+        "host",
+        F.xxhash64("host", "__body").alias("body_id"),
+        F.col("__body"),
     ).select(
         "host", "body_id",
         F.posexplode(F.split(F.col("__body"), "\n")).alias("pos", "line"),

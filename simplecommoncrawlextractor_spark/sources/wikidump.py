@@ -240,11 +240,12 @@ def wiki_external_links(
         ).alias("url")
     )
     # Java URI.getHost() drops the userinfo@ part of the authority and the
-    # :port (ExternalLinkExtractor.java:148-151) — the optional [^@/]*@
-    # group mirrors that for the common cases (userinfo may carry ':pw';
-    # a '/' before the '@' means the '@' belongs to the path, not
-    # userinfo, and must not be stripped)
+    # :port (ExternalLinkExtractor.java:148-151) — the optional [^@/?#]*@
+    # group mirrors that (userinfo may carry ':pw'; a '/', '?' or '#'
+    # before the '@' ends the authority, so such an '@' belongs to the
+    # path/query/fragment and must not be stripped — e.g.
+    # http://h.example.com?a@b has host h.example.com, not b)
     host = F.regexp_extract(
-        F.col("url"), r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^@/]*@)?([^/:?#]+)", 1
+        F.col("url"), r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^@/?#]*@)?([^/:?#]+)", 1
     )
     return kept.select(host.alias("host"), F.col("url"))

@@ -226,3 +226,42 @@ def test_png_zip_bomb_is_bounded():
     assert (w, h) == (1, 1)
     assert np.allclose(feat[:3], [10 / 255, 20 / 255, 30 / 255], atol=1e-6)
     assert peak < 8 << 20, f"inflate not bounded: peak {peak} bytes"
+
+
+def test_png_all_paeth_cpu_budget_falls_back_to_stub():
+    """Average/Paeth rows decode per byte in Python; a crafted all-Paeth
+    image past the 4 MiB slow-path budget must fall back to the stub
+    instead of burning tens of millions of interpreter iterations inside
+    an executor task. A small all-Paeth image still decodes for real."""
+    from simplecommoncrawlextractor_spark.operators.multimodal import (
+        _decode_image_stub,
+        _decode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    small = rng.integers(0, 256, size=(8, 9, 3), dtype=np.uint8)
+    assert _decode_png(_make_png(small, filters=[4] * 8)) is not None
+
+    # 1100 RGBA rows x stride 4096 = ~4.5 MiB of filter-4 scanlines > 4 MiB.
+    # All-zero pixels Paeth-filter to all-zero bytes, so the IDAT is built
+    # directly (filter byte 4 + zero scanline per row) — same wire bytes
+    # _make_png would emit, without its per-byte encoding loop.
+    import binascii
+    import struct as st
+    import zlib
+
+    def chunk(t, d):
+        return st.pack(">I", len(d)) + t + d + st.pack(">I", binascii.crc32(t + d))
+
+    stride, rows = 1024 * 4, 1100
+    raw = (b"\x04" + b"\x00" * stride) * rows
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">IIBBBBB", 1024, rows, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw, 1))
+        + chunk(b"IEND", b"")
+    )
+    assert _decode_png(payload) is None  # budget tripped, not decoded
+    w, h, feat = decode_image(payload)  # dispatcher lands on the stub
+    sw, sh, sfeat = _decode_image_stub(payload)
+    assert (w, h) == (sw, sh) and np.allclose(feat, sfeat)

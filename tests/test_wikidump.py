@@ -117,12 +117,18 @@ def test_host_drops_userinfo_and_port(spark):
     line = (
         "INSERT INTO `externallinks` VALUES "
         "(1,0,'x','http://user:pw@h.example.com/x','i'),"
-        "(2,0,'x','http://h2.example.com:8080/y@z','i');"
+        "(2,0,'x','http://h2.example.com:8080/y@z','i'),"
+        "(3,0,'x','http://h3.example.com?a@b','i'),"
+        "(4,0,'x','http://h4.example.com#f@g','i');"
     )
     lines = spark.createDataFrame([(line,)], "value string")
     got = {r["url"]: r["host"] for r in wiki_external_links(lines).collect()}
     assert got["http://user:pw@h.example.com/x"] == "h.example.com"
     assert got["http://h2.example.com:8080/y@z"] == "h2.example.com"
+    # '@' after '?' or '#' ends the authority first — it is NOT userinfo
+    # (URI.getHost() returns h3/h4, not 'b'/'g')
+    assert got["http://h3.example.com?a@b"] == "h3.example.com"
+    assert got["http://h4.example.com#f@g"] == "h4.example.com"
 
 
 def test_fast_lexer_equivalence_and_fallback():

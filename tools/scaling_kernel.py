@@ -15,6 +15,7 @@ Usage: spark-submit ... tools/scaling_kernel.py [n_urls] [trials]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -84,6 +85,7 @@ def main() -> None:
                 "best": best,
                 "scheduled": n_sched,
                 "urls_per_sec": round(n_urls / best, 1),
+                "load1": round(os.getloadavg()[0], 2),
             }
         )
     )
