@@ -187,10 +187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).alias("range_header"),
     )
 
-    q["p3_to_json"] = lambda s, d: cdx_view(s, d).select(
-        "rec_id",
-        F.to_json(F.struct(F.col("url"), F.col("status"))).alias("js"),
-    )
+    # p3_to_json retired from the roster (round-4): the to_json projection
+    # is pure built-in Spark and its seat now carries repetition_report —
+    # the projection keeps a pytest oracle in tests/test_cdx_end_to_end.py.
 
     q["a4_count_mime_by_ext"] = lambda s, d: A.a4_count_mime_by_ext(cdx_view(s, d))
 
@@ -381,6 +380,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_token_bpe"] = text_token_bpe
 
+    # MassiveText repetition gates + corpus-global segment dedup
+    # (operators/textquality.py) — oracled since round 4 (their DuckDB
+    # replays were previously pytest-only because the roster was full;
+    # p3_to_json and ann_near_dups ceded the seats).
+    def repetition_report(s, d):
+        from simplecommoncrawlextractor_spark.operators.textquality import (
+            repetition_report as rr,
+        )
+
+        return rr(_docs(s, d)).orderBy("doc_id")
+
+    q["repetition_report"] = repetition_report
+
+    def segment_dup_groups(s, d):
+        """Segment granularity on the synthetic word-salad corpus: the
+        corpus has no paragraph breaks, so segments are derived by
+        splitting at the frequent token 'table' — a deterministic
+        segmentation both engines express identically; the operator is
+        exercised with its real sep parameter."""
+        from simplecommoncrawlextractor_spark.operators.textquality import (
+            segment_duplicate_groups as sdg,
+        )
+
+        return sdg(_docs(s, d), sep=r"\btable\b").orderBy(
+            "segment", "n_occurrences"
+        )
+
+    q["segment_duplicate_groups"] = segment_dup_groups
+
     # (rolling_fingerprint — the vectorized Karp-Rabin kernel — is
     # golden-pinned in tests/test_textstats.py and benched; it is not a
     # gate entry so every rows-only slot goes to a distinct operator)
@@ -434,10 +462,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_cosine_top1"] = lambda s, d: SIM.cosine_top1(
         _emb(s, d).filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 2500))
     )
-    q["ann_near_dups"] = lambda s, d: SIM.embedding_near_dups(
-        _emb(s, d).filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 2500)),
-        threshold=0.4,
-    )
+    # ann_near_dups (the brute-force capped verifier) retired from the
+    # roster (round-4): ann_near_dups_bucketed covers the capability and
+    # the verifier keeps its pytest equivalence check
+    # (tests/test_similarity.py); its seat now carries
+    # segment_duplicate_groups.
     q["ann_near_dups_bucketed"] = lambda s, d: SIM.embedding_near_dups_bucketed(
         _emb(s, d), threshold=0.4, dim=64, n_planes=4, n_tables=8, max_bucket=512
     )
@@ -448,27 +477,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, d), centroid_stride=67, nprobe=3, max_cell=4096
     )
 
-    # --- extraction + multimodal (rows-only: binary payloads, UDF sniff) --
+    # --- extraction (oracled since round 4 via the presniffed path) ------
     def extraction_select(s, d):
+        """The full extraction plan — F4 truncated gate, F5 length gates,
+        F6 include/exclude selection (reference double-test bug fixed),
+        digest dedup, pickExtension cascade — over CDX-derived records
+        whose detected_mime is precomputed (extract(presniffed=True), the
+        IndexRecordProcessor scenario). Every stage except the sniff UDF
+        is SQL, so DuckDB replays selection + ext bit-for-bit; the sniff
+        UDF itself stays pytest-verified (tests/test_extraction.py) and
+        gate-exercised by multimodal_image_features + its use inside
+        this entry's sibling media path in tests."""
         from simplecommoncrawlextractor_spark.operators.extraction import (
             ExtractorConfig,
             extract,
         )
-        from simplecommoncrawlextractor_spark.operators.multimodal import (
-            media_payloads_from_docs,
-        )
 
-        docs = interleaved_documents(s, d)
-        media = media_payloads_from_docs(docs)
-        records = media.select(
-            F.concat(F.lit("https://media.example.com/"), F.col("media_ref")).alias("url"),
-            F.lit("application/octet-stream").alias("header_mime"),
-            F.col("payload"),
-            F.lit(None).cast("string").alias("truncated"),
-            F.length("payload").cast("long").alias("length"),
+        cdx = cdx_view(s, d)
+        records = cdx.select(
+            "url",
+            F.col("mime").alias("header_mime"),
+            F.col("mime_detected").alias("detected_mime"),
+            # deterministic truncated flag so F4 actually drops rows
+            F.when(F.col("rec_id") % 17 == 0, F.lit("length"))
+            .cast("string")
+            .alias("truncated"),
+            F.col("length").cast("long").alias("length"),
+            F.encode(F.col("url"), "UTF-8").alias("payload"),
         )
-        cfg = ExtractorConfig(include_detected_mimes="image/")
-        return extract(records, cfg).select("digest", "shard", "ext", "detected_mime", "url")
+        cfg = ExtractorConfig(
+            include_detected_mimes="^(text/html|application/pdf)",
+            include_extensions=r"^\.(txt|123)$",
+            exclude_header_mimes="pdf",
+            min_payload_bytes=1,
+            max_payload_bytes=490000,
+        )
+        return (
+            extract(records, cfg, presniffed=True)
+            .select("url", "ext", "detected_mime")
+            .orderBy("url")
+        )
 
     q["extraction_select"] = extraction_select
 
@@ -485,12 +533,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_image_features"] = multimodal_features
 
-    # --- frontier (rows-only: pandas-UDF canonicalization inside) --------
+    # --- frontier ---------------------------------------------------------
     def frontier_batch(s, d):
+        """The full frontier pipeline — harvest (Arrow UDF) → RFC 3986
+        canonicalize → filter chain → xxhash64 dedup → salted two-phase
+        politeness top-k — made ORACLE-REPLAYABLE by injecting the
+        priority through the operator's own public parameter as a
+        48-bit md5-prefix value (DuckDB replays md5 bit-for-bit; the
+        default xxhash64-derived priority stays on the production path
+        and in bench/pytest). With per-URL-unique priorities the
+        url_hash ordering tiebreak never fires, so selection and
+        fetch_rank are exactly window-replayable; the xxhash64 dedup and
+        the salt phase still execute for real (salt only pre-filters —
+        the two-phase top-k is exact by construction)."""
         docs = interleaved_documents(s, d)
-        cand = canonical_candidates(harvest_outlinks(docs))
-        return politeness_schedule(cand, host_budget=5, salt_k=4).select(
-            "host", "fetch_rank", "url_canon", "url_hash", "priority"
+        urls = harvest_outlinks(docs)
+        pr48 = F.conv(F.substring(F.md5(F.col("url_canon")), 1, 12), 16, 10)
+        cand = canonical_candidates(
+            urls,
+            priority=pr48.cast("double") / F.lit(float(1 << 48)),
+            discovered_at=F.timestamp_seconds(F.lit(1735689600)),
+        )
+        return (
+            politeness_schedule(cand, host_budget=5, salt_k=4)
+            .select(
+                "host",
+                "fetch_rank",
+                "url_canon",
+                F.conv(F.substring(F.md5(F.col("url_canon")), 1, 12), 16, 10)
+                .cast("long")
+                .alias("prio48"),
+            )
+            .orderBy("host", "fetch_rank")
         )
 
     q["frontier_schedule_batch"] = frontier_batch
@@ -547,23 +621,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f7_digest_semijoin", "f8_set_membership", "f9_seen_antijoin",
         "f10_downsample_strata", "f11_downsample_langcharset",
         "f13_capture_replace", "f14_identity_norm",
-        "p1_cdx_parse", "p2_offset_header", "p3_to_json",
-        # frontier centerpiece (oracled: generator-replay)
-        "frontier_harvest_by_host",
+        "p1_cdx_parse", "p2_offset_header",
+        # frontier centerpiece (oracled: generator-replay; since round 4
+        # the full schedule batch is oracled too, via md5-prefix priority
+        # injection + window replay)
+        "frontier_harvest_by_host", "frontier_schedule_batch",
         # sources (oracled)
         "s6_s7_shard_fetch_probe", "s9_wiki_external_links",
         # dedup + text (oracled)
         "dedup_exact_groups", "dedup_minhash_lsh", "dedup_ngram_jaccard",
         "dedup_simhash", "dedup_components", "text_token_hist",
         "text_quality", "text_lang_id", "text_fingerprint", "text_token_bpe",
+        "repetition_report", "segment_duplicate_groups",
+        # extraction (oracled: presniffed path, sniff UDF pytest-verified)
+        "extraction_select",
         # events (oracled)
         "events_hourly_counts", "events_sessionize",
         # similarity (oracled)
         "ann_lsh_bucketed", "ann_multiprobe_top1", "ann_ivf_top1",
-        "ann_near_dups_bucketed", "ann_cosine_top1", "ann_near_dups",
+        "ann_near_dups_bucketed", "ann_cosine_top1",
         # rows-only tail (stateful / binary-payload / pandas-UDF paths)
-        "frontier_schedule_batch", "scheduler_one_round",
-        "extraction_select", "multimodal_image_features",
+        "scheduler_one_round", "multimodal_image_features",
     ]
     assert set(order) == set(q), (set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -661,10 +739,6 @@ def oracle_sql() -> dict[str, str]:
         "SELECT rec_id, 'bytes=' || CAST(\"offset\" AS STRING) || '-' || "
         'CAST("offset" + length - 1 AS STRING) AS range_header FROM cdx'
     )
-    o["p3_to_json"] = oracle_cte(
-        "SELECT rec_id, '{\"url\":\"' || url || '\",\"status\":' || "
-        "CAST(status AS STRING) || '}' AS js FROM cdx"
-    )
     o["a4_count_mime_by_ext"] = oracle_cte(
         f"SELECT coalesce({_MIME}, 'NULL') AS mime, coalesce({_EXT}, 'NULL') AS ext, "
         "count(*) AS cnt FROM cdx GROUP BY 1, 2 ORDER BY mime, cnt DESC, ext"
@@ -712,6 +786,51 @@ def oracle_sql() -> dict[str, str]:
         "WHERE NOT regexp_matches(url, '\\.example\\.404') "
         "AND length(url) < 3000 "  # RE2 caps {3000}; find('.{3000}') == len >= 3000
         "ORDER BY host, url"
+    )
+
+    # extraction_select: full replay of the F4/F5 gates, F6 include/exclude
+    # selection (reference double-test bug fixed — the detected-mime
+    # include is honored), and the pickExtension cascade; detected_mime is
+    # the precomputed CDX column in both engines (extract(presniffed=True)),
+    # so the sniff UDF is the only stage outside this oracle.
+    _MIMEXT_CASE = (
+        "CASE trim(split_part({c}, ';', 1)) "
+        "WHEN 'application/pdf' THEN '.pdf' WHEN 'application/zip' THEN '.zip' "
+        "WHEN 'application/gzip' THEN '.gz' WHEN 'application/rtf' THEN '.rtf' "
+        "WHEN 'text/html' THEN '.html' WHEN 'text/plain' THEN '.txt' "
+        "WHEN 'image/png' THEN '.png' WHEN 'image/gif' THEN '.gif' "
+        "WHEN 'image/jpeg' THEN '.jpg' WHEN 'image/webp' THEN '.webp' "
+        "WHEN 'image/jp2' THEN '.jp2' WHEN 'audio/ogg' THEN '.ogg' "
+        "WHEN 'audio/mpeg' THEN '.mp3' WHEN 'audio/x-wav' THEN '.wav' "
+        "WHEN 'video/mp4' THEN '.mp4' WHEN 'video/x-msvideo' THEN '.avi' END"
+    )
+    _UEXT_RAW = (
+        "lower(regexp_extract(regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1), "
+        "'(?i)\\.([a-z0-9]{1,8})$', 1))"
+    )
+    o["extraction_select"] = oracle_cte(
+        f"""
+SELECT url, coalesce(detected_ext, header_ext, uext, '.unk') AS ext, detected_mime
+FROM (
+  SELECT url, mime, mime_detected AS detected_mime, rec_id, length,
+         CASE WHEN {_UEXT_RAW} = '' THEN NULL
+              ELSE '.' || CASE WHEN {_UEXT_RAW} = 'htm' THEN 'html'
+                               ELSE {_UEXT_RAW} END END AS uext,
+         {_MIMEXT_CASE.format(c='mime')} AS header_ext,
+         CASE WHEN mime_detected <> 'application/octet-stream'
+              THEN {_MIMEXT_CASE.format(c='mime_detected')} END AS detected_ext
+  FROM cdx
+)
+WHERE rec_id % 17 <> 0
+  AND length >= 1 AND length <= 490000
+  AND NOT coalesce(mime IS NOT NULL AND regexp_matches(mime, 'pdf'), FALSE)
+  AND (
+    (detected_mime IS NOT NULL
+     AND regexp_matches(detected_mime, '^(text/html|application/pdf)'))
+    OR (uext IS NOT NULL AND regexp_matches(uext, '^\\.(txt|123)$'))
+  )
+ORDER BY url
+""".strip()
     )
 
     o["f14_identity_norm"] = (
@@ -860,6 +979,62 @@ FROM best WHERE rn = 1 ORDER BY doc_id
         "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens "
         "FROM documents ORDER BY doc_id"
     )
+    # repetition_report: full bit-replay of the MassiveText repetition
+    # gates — unigram/bigram counts, top-gram and duplicate fractions as
+    # exact integer basis points (same SQL previously lived only in
+    # tests/test_textquality.py).
+    o["repetition_report"] = """
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+uni AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+unid AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS top_uni
+  FROM uni GROUP BY 1
+),
+warr AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+  FROM warr WHERE len(w) >= 2
+),
+bic AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+bid AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bi,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_bi
+  FROM bic GROUP BY 1
+)
+SELECT u.doc_id, n_tokens, n_distinct,
+  CAST((10000 * (n_tokens - n_distinct)) // n_tokens AS BIGINT) AS dup_token_bp,
+  CAST((10000 * top_uni) // n_tokens AS BIGINT) AS top_unigram_bp,
+  CAST(COALESCE(CASE WHEN n_tokens > 1 THEN (10000 * top_bi) // (n_tokens - 1) END, 0) AS BIGINT)
+    AS top_bigram_bp,
+  CAST(COALESCE(CASE WHEN n_tokens > 1 THEN (10000 * dup_bi) // (n_tokens - 1) END, 0) AS BIGINT)
+    AS dup_bigram_bp
+FROM unid u LEFT JOIN bid USING (doc_id) ORDER BY doc_id
+""".strip()
+    # segment_duplicate_groups: corpus-global paragraph dedup groups; the
+    # word-salad corpus has no paragraph breaks, so the gate derives
+    # segments by splitting at the frequent token 'table' in both engines.
+    o["segment_duplicate_groups"] = """
+WITH segs AS (
+  SELECT doc_id, seg FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\\btable\\b')) AS seg
+    FROM documents
+  ) WHERE trim(seg) <> ''
+)
+SELECT seg AS segment, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM segs GROUP BY 1 HAVING count(*) > 1 ORDER BY segment, n_occurrences
+""".strip()
 
     o["events_hourly_counts"] = (
         "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_idx, event_type, "
@@ -888,16 +1063,6 @@ pairs AS (
 SELECT id_a AS vec_id, id_b AS nn_id FROM (
   SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn FROM pairs
 ) WHERE rn = 1 ORDER BY vec_id
-""".strip()
-    o["ann_near_dups"] = """
-WITH samp AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 2500)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM samp a, samp b
-WHERE a.vec_id < b.vec_id
-  AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4
-ORDER BY 1, 2
 """.strip()
     # SRP weights are pure integer arithmetic (similarity.srp_weight), so the
     # oracle replays the multi-table bucketing bit-for-bit; the per-table
@@ -1090,8 +1255,37 @@ dedup AS (SELECT DISTINCT host, url_canon FROM urls)
 SELECT host, count(*) AS cnt FROM dedup GROUP BY 1 ORDER BY cnt DESC, host
 """.strip()
 
-    # frontier_schedule_batch, scheduler_one_round, extraction_select,
-    # multimodal_image_features: rows-only (xxhash64 priorities, stateful
-    # checkpointing, binary payload sniff/decode are not
-    # DuckDB-expressible); covered by pytest golden + equivalence tests.
+    # frontier_schedule_batch: the SAME generator replay composed with the
+    # politeness-window replay (the o4 pattern). The gate entry injects a
+    # 48-bit md5-prefix priority through canonical_candidates' public
+    # parameter, so DuckDB replays the priority (md5 is bit-identical in
+    # both engines; /2^48 is an exact power-of-two scale), the per-host
+    # top-5 selection, and fetch_rank — the xxhash64 dedup + salt phases
+    # still run for real on the Spark side, and with per-URL-unique
+    # priorities they are exactness-preserving by construction.
+    _GEN_URLS = o["frontier_harvest_by_host"].rsplit("\ndedup AS", 1)[0]
+    o["frontier_schedule_batch"] = (
+        _GEN_URLS
+        + """
+dedup AS (SELECT DISTINCT host, url_canon FROM urls),
+pr AS (
+  SELECT host, url_canon,
+         ('0x' || substr(md5(url_canon), 1, 12))::BIGINT AS prio48
+  FROM dedup
+),
+ranked AS (
+  SELECT host, url_canon, prio48,
+         row_number() OVER (
+           PARTITION BY host ORDER BY prio48 DESC, url_canon
+         ) AS fetch_rank
+  FROM pr
+)
+SELECT host, fetch_rank, url_canon, prio48
+FROM ranked WHERE fetch_rank <= 5 ORDER BY host, fetch_rank
+""".rstrip()
+    )
+
+    # scheduler_one_round, multimodal_image_features: rows-only (stateful
+    # checkpointing and binary payload decode are not DuckDB-expressible);
+    # covered by pytest golden + equivalence tests.
     return o

@@ -116,9 +116,17 @@ def extract(
     records: DataFrame,
     cfg: ExtractorConfig,
     seen_digests: DataFrame | None = None,
+    presniffed: bool = False,
 ) -> DataFrame:
     """Run the full extraction plan over records with columns
     (url, header_mime, payload binary, truncated string|null, length long).
+
+    ``presniffed=True`` means records already carry a ``detected_mime``
+    column (the CDX-index scenario — cc/index/IndexRecordProcessor's rows
+    have mime_detected precomputed) and the sniff phase is skipped; the
+    rest of the plan (F4/F5 gates, F6 selection, digest addressing, ext
+    cascade) is identical. This is also what makes the selection logic
+    oracle-checkable: the sniff UDF is the only non-SQL stage.
 
     Returns selected rows with (digest, shard, ext, detected_mime, payload)
     — the rows K1 would write to ``out/<digest[0:2]>/<digest><ext>``."""
@@ -130,17 +138,18 @@ def extract(
     if cfg.max_payload_bytes >= 0:
         df = df.filter(F.col("length") <= cfg.max_payload_bytes)
 
-    # two-phase sniff: prefix pass for everyone, full pass ONLY for rows the
-    # prefix pass called octet-stream (Extractor.java:116-139)
-    prefix = F.substring(F.col("payload"), 1, 1000)
-    df = df.withColumn("mime_phase1", sniff_mime(prefix))
-    df = df.withColumn(
-        "detected_mime",
-        F.when(
-            F.col("mime_phase1") == "application/octet-stream",
-            sniff_mime(F.col("payload")),
-        ).otherwise(F.col("mime_phase1")),
-    ).drop("mime_phase1")
+    if not presniffed:
+        # two-phase sniff: prefix pass for everyone, full pass ONLY for rows
+        # the prefix pass called octet-stream (Extractor.java:116-139)
+        prefix = F.substring(F.col("payload"), 1, 1000)
+        df = df.withColumn("mime_phase1", sniff_mime(prefix))
+        df = df.withColumn(
+            "detected_mime",
+            F.when(
+                F.col("mime_phase1") == "application/octet-stream",
+                sniff_mime(F.col("payload")),
+            ).otherwise(F.col("mime_phase1")),
+        ).drop("mime_phase1")
 
     # F6 selection on (detected, header, url-ext)
     df = df.withColumn("url_ext", url_ext_warc(F.col("url")))

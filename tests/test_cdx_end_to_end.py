@@ -48,3 +48,33 @@ def test_gz_cdx_shards_roundtrip(spark, sf_dir, tmp_path):
     }
     assert got == want
     truth.unpersist()
+
+
+def test_p3_to_json_projection_matches_duckdb(spark, sf_dir):
+    """P3 (to_json projection — retired from the gate roster in round 4,
+    its seat carries repetition_report now): DuckDB replay of the JSON
+    string construction stays here."""
+    import duckdb
+
+    from simplecommoncrawlextractor_spark.operators.cdxview import oracle_cte
+
+    got = {
+        (r["rec_id"], r["js"])
+        for r in cdx_view(spark, sf_dir)
+        .select(
+            "rec_id",
+            F.to_json(F.struct(F.col("url"), F.col("status"))).alias("js"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    sql = oracle_cte(
+        "SELECT rec_id, '{\"url\":\"' || url || '\",\"status\":' || "
+        "CAST(status AS STRING) || '}' AS js FROM cdx"
+    )
+    want = {(int(r[0]), r[1]) for r in con.execute(sql).fetchall()}
+    assert got == want
