@@ -419,8 +419,9 @@ def connected_components(
     convergence check is one count per round on a localCheckpoint'd
     frame (truncating lineage so the plan doesn't grow per round — the
     per-round state is O(nodes), same as GraphX/GraphFrames CC; for
-    10^10-node graphs swap in the alternating large-star/small-star
-    variant, which needs the same join shape per round). Deterministic:
+    10^10-node graphs use ``connected_components_star`` below — the
+    alternating large-star/small-star variant with the same join shape
+    per round but an O(log n) round bound). Deterministic:
     labels are data-derived mins, never partition- or order-dependent.
 
     Returns (id_col, component) for EVERY node; singletons are their own
@@ -472,6 +473,110 @@ def connected_components(
             "graph has a longer chain than max_iterations — raise the bound"
         )
     return labels.select(F.col("node").alias(id_col), F.col("comp").alias("component"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the 10^10-node-scale variant ``connected_components``'
+    docstring prescribes: each round is the same equi-join + min-agg
+    shape as one label-propagation round, but the round count is
+    O(log n) even on path graphs, where min-label propagation needs
+    diameter rounds (a 10^3-chain takes ~10 star rounds vs 10^3).
+
+    large-star(u): every neighbor v > u re-attaches to
+    m_u = min(Γ(u) ∪ {u}); small-star(u): every neighbor v < u and u
+    itself re-attach to m_u = min of the ≤-neighborhood. Both preserve
+    connectivity and strictly shrink the potential; at the fixpoint every
+    edge is (node, component-min). Deterministic: edges are kept as a
+    canonical distinct set and all targets are data-derived minima.
+
+    Same contract as ``connected_components``: (id_col, component) for
+    EVERY node, singletons their own component; raises on
+    non-convergence. Equivalence with the min-label loop is
+    pytest-asserted on the MinHash fixture (tests/test_dedup.py)."""
+    # canonical undirected edge set, one row per edge as (a>b) ordered —
+    # self-loops dropped; localCheckpoint for the same reason as the
+    # label loop (the LSH candidate plan must not re-execute per round)
+    a, b = F.col("id_a"), F.col("id_b")
+    edges = (
+        pairs.filter(a != b)
+        .select(F.greatest(a, b).alias("src"), F.least(a, b).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def checksum(e: DataFrame) -> tuple:
+        # bit_xor, not sum: an order-insensitive 64-bit set digest with no
+        # ANSI overflow (sum of xxhash64 values overflows long)
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev = checksum(edges)
+    converged = False
+    for _ in range(max_iterations):
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        # large-star: Γ(u)'s strictly-larger members attach to
+        # m_u = min(Γ(u) ∪ {u})
+        m_all = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        ls = (
+            sym.filter(F.col("dst") > F.col("src"))
+            .join(m_all, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star over the large-star output: u and its ≤-neighbors
+        # attach to min(Γ⁻(u) ∪ {u})
+        sym2 = ls.unionByName(
+            ls.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        lower = sym2.filter(F.col("dst") < F.col("src"))
+        m_low = lower.groupBy("src").agg(F.min("dst").alias("m"))
+        ss = (
+            lower.join(m_low, "src")
+            .select(F.col("dst").alias("v"), F.col("m"))
+            .unionByName(m_low.select(F.col("src").alias("v"), F.col("m")))
+            .filter(F.col("v") != F.col("m"))
+            .select(F.greatest("v", "m").alias("src"), F.least("v", "m").alias("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        edges = ss
+        cur = checksum(edges)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iterations} "
+            "alternating rounds — pathological candidate graph; raise the bound"
+        )
+    # star fixpoint: every edge is (member, root); roots and singletons
+    # label themselves
+    labels = edges.groupBy("src").agg(F.min("dst").alias("comp"))
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(labels, F.col("node") == F.col("src"), "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("comp"), F.col("node")).alias("component"),
+        )
+    )
 
 
 def dedup_representatives(

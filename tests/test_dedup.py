@@ -231,3 +231,64 @@ def test_connected_components_long_chain_converges_or_raises(spark):
         for r in connected_components(pairs, nodes, max_iterations=15).collect()
     }
     assert set(got.values()) == {"d00"}
+
+
+def test_star_cc_matches_label_propagation_and_handles_long_chain(spark):
+    """connected_components_star must (a) agree with the min-label loop on
+    a mixed clusters+singletons graph, (b) collapse a 1000-node path graph
+    — diameter 999, far beyond any sane label-propagation budget — within
+    its O(log n) round bound, and (c) agree with the label loop on the
+    MinHash candidate pairs of a real near-dup fixture."""
+    from simplecommoncrawlextractor_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+        minhash_lsh_candidates,
+    )
+
+    # (a) transitive chains + separate cluster + singletons
+    pairs = spark.createDataFrame(
+        [("d0", "d1"), ("d1", "d2"), ("d2", "d3"), ("d5", "d6")],
+        "id_a string, id_b string",
+    )
+    nodes = spark.createDataFrame([(f"d{i}",) for i in range(8)], "doc_id string")
+    want = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs, nodes).collect()
+    }
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_star(pairs, nodes).collect()
+    }
+    assert got == want
+
+    # (b) adversarial 1000-node path graph: label propagation would need
+    # 999 rounds; the star alternation converges in O(log n)
+    n = 1000
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    cnodes = spark.range(n).withColumnRenamed("id", "doc_id")
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_star(
+            chain, cnodes, id_col="doc_id", max_iterations=30
+        ).collect()
+    }
+    assert set(comp.values()) == {0} and len(comp) == n
+
+    # (c) equivalence on the MinHash fixture's real candidate graph
+    texts = []
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    for i in range(12):
+        texts.append((f"m{i:02d}", base + f" tail{i % 3}"))
+    docs = spark.createDataFrame(texts, "doc_id string, text string")
+    cand = minhash_lsh_candidates(docs)
+    want = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(cand, docs.select("doc_id")).collect()
+    }
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_star(cand, docs.select("doc_id")).collect()
+    }
+    assert got == want
