@@ -3,13 +3,15 @@ columns with typed metadata.
 
 The Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas
 signatures, partitioning) is real and tested. Decoding is REAL for the
-formats decodable with the stdlib alone — uncompressed BMP
-(BITMAPINFOHEADER, 24/32bpp BI_RGB), binary PPM (P6), and
-non-interlaced 8-bit RGB/RGBA PNG (zlib inflate + the five scanline
-filters, ``_decode_png``); JPEG/WEBP remain STUBBED with a deterministic
-fake (this container ships no image libraries) behind
-``_decode_image_stub`` — swap in PIL/libav by replacing that one
-function. Batch shape: mapInPandas receives an iterator of Arrow
+formats decodable with stdlib + numpy alone — uncompressed BMP
+(BITMAPINFOHEADER, 24/32bpp BI_RGB), binary PPM (P6), non-interlaced
+8-bit RGB/RGBA PNG (zlib inflate + the five scanline filters,
+``_decode_png``), and baseline sequential JPEG (SOF0: canonical Huffman
+entropy decode, dequantize, batched IDCT, 4:2:0/4:2:2/4:4:4 chroma
+upsample, restart markers — ``_decode_jpeg``); progressive JPEG and WEBP
+remain STUBBED with a deterministic fake (this container ships no image
+libraries) behind ``_decode_image_stub`` — swap in PIL/libav by
+replacing that one function. Batch shape: mapInPandas receives an iterator of Arrow
 batches; we yield one output frame per input frame to keep memory bounded
 regardless of payload size — the pattern that matters at 100 TB, where a
 single partition can hold GBs of media bytes.
@@ -246,14 +248,298 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     return w, h, _pixel_features(px, w, h)
 
 
+# ---------------------------------------------------------------------------
+# baseline JPEG (SOF0) — stdlib + numpy only
+# ---------------------------------------------------------------------------
+
+# JPEG zigzag scan order: _ZIGZAG[k] = row-major index of the k-th
+# zigzag-ordered coefficient (ITU-T T.81 Figure 5)
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# 8-point DCT-II basis (orthonormal): spatial = C.T @ coefs @ C
+_DCT_C = np.array([
+    [
+        (np.sqrt(1.0 / 8.0) if u == 0 else np.sqrt(2.0 / 8.0))
+        * np.cos((2 * x + 1) * u * np.pi / 16.0)
+        for x in range(8)
+    ]
+    for u in range(8)
+])
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table (T.81 Annex C): counts[1..16] +
+    symbols → (mincode, maxcode, valptr) per code length."""
+
+    def __init__(self, counts: list[int], symbols: bytes):
+        self.vals = symbols
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code, k = 0, 0
+        for ln in range(1, 17):
+            n = counts[ln - 1]
+            self.valptr[ln] = k
+            self.mincode[ln] = code
+            self.maxcode[ln] = code + n - 1 if n else -1
+            code = (code + n) << 1
+            k += n
+
+
+def _huff_decode(bits: np.ndarray, pos: int, t: _HuffTable) -> tuple[int, int]:
+    code = 0
+    n = bits.shape[0]
+    for ln in range(1, 17):
+        if pos >= n:
+            raise ValueError("jpeg: bitstream exhausted")
+        code = (code << 1) | int(bits[pos])
+        pos += 1
+        mx = t.maxcode[ln]
+        if mx >= 0 and code <= mx:
+            return t.vals[t.valptr[ln] + code - t.mincode[ln]], pos
+    raise ValueError("jpeg: invalid huffman code")
+
+
+def _receive_extend(bits: np.ndarray, pos: int, s: int) -> tuple[int, int]:
+    if s == 0:
+        return 0, pos
+    if pos + s > bits.shape[0]:
+        raise ValueError("jpeg: bitstream exhausted")
+    v = 0
+    for i in range(s):
+        v = (v << 1) | int(bits[pos + i])
+    pos += s
+    if v < (1 << (s - 1)):
+        v -= (1 << s) - 1
+    return v, pos
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """REAL decode of a baseline sequential JPEG (SOF0, 8-bit, 1 or 3
+    components, subsampling factors in {1, 2}) with stdlib + numpy: marker
+    walk, canonical Huffman entropy decode, dequantize + dezigzag, batched
+    orthonormal IDCT, chroma upsample, BT.601 YCbCr→RGB. Returns None for
+    anything else — progressive (SOF2), arithmetic coding, 12-bit, CMYK,
+    hierarchical — and for images past the 2^20-pixel cap (the entropy
+    loop is per-coefficient Python, so the cap bounds executor CPU on
+    untrusted payloads exactly like the PNG slow-path budget)."""
+    if payload[:2] != b"\xff\xd8":
+        return None
+    n = len(payload)
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], _HuffTable] = {}
+    restart_interval = 0
+    w = h = None
+    comps: list[dict] = []  # id, hs, vs, tq
+    scan: list[dict] = []   # comp index, dc table, ac table
+    data_start = data_end = None
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7:  # stray RST outside scan
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq != 0:
+                    return None  # 16-bit tables: not baseline-8
+                qtabs[tq] = np.frombuffer(
+                    seg, dtype=np.uint8, count=64, offset=i + 1
+                ).astype(np.int32)
+                i += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if prec != 8 or nc not in (1, 3) or w == 0 or h == 0:
+                return None
+            if w * h > 1 << 20:
+                return None  # CPU budget for the Python entropy loop
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                hs, vs = hv >> 4, hv & 15
+                if hs not in (1, 2) or vs not in (1, 2):
+                    return None
+                comps.append({"id": cid, "hs": hs, "vs": vs, "tq": tq})
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline SOF
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1 : i + 17])
+                nv = sum(counts)
+                htabs[(tc, th)] = _HuffTable(counts, seg[i + 17 : i + 17 + nv])
+                i += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            if not comps or ns != len(comps):
+                return None  # non-interleaved multi-scan: not supported
+            for i in range(ns):
+                cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                idx = next(
+                    (k for k, c in enumerate(comps) if c["id"] == cid), None
+                )
+                if idx is None:
+                    return None
+                scan.append({"c": idx, "dc": tt >> 4, "ac": tt & 15})
+            data_start = pos + seglen
+            # entropy data runs to the next non-RST marker
+            j = data_start
+            while j + 1 < n:
+                if payload[j] == 0xFF and payload[j + 1] not in (0x00,) and not (
+                    0xD0 <= payload[j + 1] <= 0xD7
+                ):
+                    break
+                j += 1 if payload[j] != 0xFF else 2
+            data_end = j
+            break  # single-scan baseline only
+        pos += seglen
+    if w is None or data_start is None or not scan:
+        return None
+
+    try:
+        hmax = max(c["hs"] for c in comps)
+        vmax = max(c["vs"] for c in comps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        # restart-interval handling: split the entropy stream on RSTn and
+        # decode each segment with fresh DC predictors and bit alignment
+        raw = payload[data_start:data_end]
+        segments = []
+        if restart_interval:
+            parts, cur, i2 = [], bytearray(), 0
+            while i2 < len(raw):
+                bch = raw[i2]
+                if bch == 0xFF and i2 + 1 < len(raw) and 0xD0 <= raw[i2 + 1] <= 0xD7:
+                    parts.append(bytes(cur))
+                    cur = bytearray()
+                    i2 += 2
+                    continue
+                cur.append(bch)
+                i2 += 1
+            parts.append(bytes(cur))
+            segments = parts
+        else:
+            segments = [raw]
+        seg_bits = [
+            np.unpackbits(np.frombuffer(s.replace(b"\xff\x00", b"\xff"), dtype=np.uint8))
+            for s in segments
+        ]
+
+        # per-component coefficient store (MCU-padded plane, in blocks)
+        for c in comps:
+            c["bw"] = mcux * c["hs"]
+            c["bh"] = mcuy * c["vs"]
+            c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+
+        seg_idx, bits, bpos = 0, seg_bits[0], 0
+        preds = [0] * len(comps)
+        mcu_count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(seg_bits):
+                        raise ValueError("jpeg: missing restart segment")
+                    bits, bpos = seg_bits[seg_idx], 0
+                    preds = [0] * len(comps)
+                for sc in scan:
+                    c = comps[sc["c"]]
+                    dct = htabs[(0, sc["dc"])]
+                    act = htabs[(1, sc["ac"])]
+                    for by in range(c["vs"]):
+                        for bx in range(c["hs"]):
+                            blk = np.zeros(64, dtype=np.int32)
+                            t, bpos = _huff_decode(bits, bpos, dct)
+                            diff, bpos = _receive_extend(bits, bpos, t)
+                            preds[sc["c"]] += diff
+                            blk[0] = preds[sc["c"]]
+                            k = 1
+                            while k < 64:
+                                rs, bpos = _huff_decode(bits, bpos, act)
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("jpeg: AC index overrun")
+                                blk[k], bpos = _receive_extend(bits, bpos, s)
+                                k += 1
+                            row = my * c["vs"] + by
+                            col = mx * c["hs"] + bx
+                            c["coef"][row * c["bw"] + col] = blk
+                mcu_count += 1
+
+        # dequantize + dezigzag + batched IDCT per component
+        planes = []
+        for c in comps:
+            q = qtabs.get(c["tq"])
+            if q is None:
+                raise ValueError("jpeg: missing quant table")
+            deq = (c["coef"] * q[np.newaxis, :]).astype(np.float64)
+            blocks = np.zeros((deq.shape[0], 64))
+            blocks[:, _ZIGZAG] = deq
+            blocks = blocks.reshape(-1, 8, 8)
+            spatial = np.einsum("ij,njk,kl->nil", _DCT_C.T, blocks, _DCT_C)
+            plane = (
+                spatial.reshape(c["bh"], c["bw"], 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(c["bh"] * 8, c["bw"] * 8)
+            )
+            plane = np.clip(np.round(plane + 128.0), 0, 255)
+            # upsample to full MCU-grid resolution, then crop to (h, w)
+            plane = np.repeat(
+                np.repeat(plane, vmax // c["vs"], axis=0), hmax // c["hs"], axis=1
+            )
+            planes.append(plane[:h, :w])
+
+        if len(planes) == 1:
+            rgb = np.stack([planes[0]] * 3, axis=-1)
+        else:
+            y, cb, cr = planes
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            rgb = np.stack([r, g, b], axis=-1)
+        px = np.clip(np.round(rgb), 0, 255).astype(np.uint8).reshape(-1, 3)
+        return w, h, _pixel_features(px, w, h)
+    except (ValueError, IndexError, KeyError, struct.error):
+        return None
+
+
 def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Dispatch: real BMP/PPM/PNG decode when the bytes are one;
-    deterministic stub otherwise (JPEG/WEBP, garbage, truncation)."""
+    """Dispatch: real BMP/PPM/PNG/baseline-JPEG decode when the bytes are
+    one; deterministic stub otherwise (progressive JPEG, WEBP, garbage,
+    truncation)."""
     out = _decode_bmp(payload)
     if out is None:
         out = _decode_ppm(payload)
     if out is None:
         out = _decode_png(payload)
+    if out is None:
+        out = _decode_jpeg(payload)
     return out if out is not None else _decode_image_stub(payload)
 
 

@@ -265,3 +265,249 @@ def test_png_all_paeth_cpu_budget_falls_back_to_stub():
     w, h, feat = decode_image(payload)  # dispatcher lands on the stub
     sw, sh, sfeat = _decode_image_stub(payload)
     assert (w, h) == (sw, sh) and np.allclose(feat, sfeat)
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG roundtrip: a test-side SOF0 encoder (independent zigzag
+# literal, simple canonical Huffman tables) feeds the production decoder
+# ---------------------------------------------------------------------------
+
+_ZZ = [  # independent copy of the T.81 zigzag order (cross-checks the
+    0, 1, 8, 16, 9, 2, 3, 10,          # decoder's constant)
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.nbits = 0, 0
+
+    def flush(self):
+        while self.nbits:
+            self.put(1, 1)  # pad with 1s
+        return bytes(self.out)
+
+
+def _cat_bits(v):
+    """JPEG magnitude category + appended bits for a signed value."""
+    s, a = 0, abs(v)
+    while a:
+        s += 1
+        a >>= 1
+    bits = v if v >= 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def _make_jpeg(planes, w, h, restart_interval=0):
+    """Encode a baseline SOF0 JPEG from full-resolution component planes
+    [(plane_2d, hs, vs), ...] (1 = grayscale, 3 = YCbCr), all-ones quant
+    table, DC symbols as 4-bit identity codes, AC symbols 0..254 as 9-bit
+    identity codes — tiny, valid, and bit-exact to replay."""
+    import struct as st
+
+    C = np.array(
+        [
+            [
+                (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    hmax = max(hs for _, hs, _ in planes)
+    vmax = max(vs for _, _, vs in planes)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    comps = []
+    for plane, hs, vs in planes:
+        # downsample to the component's resolution by exact averaging
+        ph, pw = plane.shape
+        fy, fx = vmax // vs, hmax // hs
+        sub = plane[: ph - ph % fy or ph, : pw - pw % fx or pw]
+        sub = sub.reshape(sub.shape[0] // fy, fy, sub.shape[1] // fx, fx).mean(
+            axis=(1, 3)
+        )
+        # pad to the MCU block grid by edge replication
+        bw, bh = mcux * hs * 8, mcuy * vs * 8
+        padded = np.zeros((bh, bw))
+        padded[: sub.shape[0], : sub.shape[1]] = sub
+        if sub.shape[0] < bh:
+            padded[sub.shape[0] :, : sub.shape[1]] = sub[-1:, :]
+        if sub.shape[1] < bw:
+            padded[:, sub.shape[1] :] = padded[:, sub.shape[1] - 1 : sub.shape[1]]
+        comps.append({"plane": padded, "hs": hs, "vs": vs})
+
+    bw_ = _BitWriter()
+    body = bytearray()
+    preds = [0] * len(comps)
+    mcu_count = 0
+    rst_idx = 0
+
+    def encode_block(c, bx, by, ci):
+        block = c["plane"][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+        coef = np.round(C @ block @ C.T).astype(int)
+        zz = [int(coef.flat[_ZZ[k]]) for k in range(64)]
+        diff = zz[0] - preds[ci]
+        preds[ci] = zz[0]
+        s, bits = _cat_bits(diff)
+        bw_.put(s, 4)  # DC identity code
+        if s:
+            bw_.put(bits, s)
+        run = 0
+        last = max((k for k in range(1, 64) if zz[k]), default=0)
+        for k in range(1, 64):
+            if k > last:
+                bw_.put(0x00, 9)  # EOB
+                break
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                bw_.put(0xF0, 9)  # ZRL
+                run -= 16
+            s, bits = _cat_bits(zz[k])
+            bw_.put((run << 4) | s, 9)
+            bw_.put(bits, s)
+            run = 0
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                body += bw_.flush()
+                body += bytes([0xFF, 0xD0 + (rst_idx % 8)])
+                rst_idx += 1
+                bw_.__init__()
+                preds[:] = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                for by in range(c["vs"]):
+                    for bx in range(c["hs"]):
+                        encode_block(c, mx * c["hs"] + bx, my * c["vs"] + by, ci)
+            mcu_count += 1
+    body += bw_.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + st.pack(">H", len(payload) + 2) + payload
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT id 0, all ones
+    sof = bytes([8]) + st.pack(">HH", h, w) + bytes([len(comps)])
+    for i, c in enumerate(comps):
+        sof += bytes([i + 1, (c["hs"] << 4) | c["vs"], 0])
+    out += seg(0xC0, sof)
+    dc_counts = [0] * 16
+    dc_counts[3] = 12  # twelve 4-bit identity codes
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(range(12)))
+    ac_counts = [0] * 16
+    ac_counts[8] = 255  # 255 nine-bit identity codes (symbols 0..254)
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(range(255)))
+    if restart_interval:
+        out += seg(0xDD, st.pack(">H", restart_interval))
+    sos = bytes([len(comps)])
+    for i in range(len(comps)):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bytes(body)
+    out += b"\xff\xd9"
+    return out
+
+
+def _rgb_to_ycbcr(px):
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def test_jpeg_grayscale_roundtrip_true_pixels():
+    from simplecommoncrawlextractor_spark.operators.multimodal import _decode_jpeg
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(16, 24)).astype(np.float64)
+    payload = _make_jpeg([(img, 1, 1)], 24, 16)
+    out = _decode_jpeg(payload)
+    assert out is not None
+    w, h, feat = out
+    assert (w, h) == (24, 16)
+    # q=1 quantization: reconstruction error is DCT rounding only (±2)
+    gray_mean = img.mean() / 255.0
+    assert abs(float(feat[0]) - gray_mean) < 0.01
+    assert abs(float(feat[1]) - gray_mean) < 0.01
+
+
+def test_jpeg_color_444_with_restarts_roundtrip():
+    from simplecommoncrawlextractor_spark.operators.multimodal import _decode_jpeg
+
+    rng = np.random.default_rng(12)
+    px = rng.integers(0, 256, size=(16, 16, 3)).astype(np.float64)
+    y, cb, cr = _rgb_to_ycbcr(px)
+    payload = _make_jpeg(
+        [(y, 1, 1), (cb, 1, 1), (cr, 1, 1)], 16, 16, restart_interval=2
+    )
+    out = _decode_jpeg(payload)
+    assert out is not None
+    w, h, feat = out
+    assert (w, h) == (16, 16)
+    want = px.reshape(-1, 3).mean(axis=0) / 255.0
+    for ch in range(3):
+        assert abs(float(feat[ch]) - want[ch]) < 0.02, (ch, feat[:3], want)
+
+
+def test_jpeg_420_subsampled_uniform_chroma():
+    """4:2:0: random luma + constant chroma, so the 2x2 chroma averaging
+    is exact and the roundtrip error stays at DCT-rounding scale."""
+    from simplecommoncrawlextractor_spark.operators.multimodal import _decode_jpeg
+
+    rng = np.random.default_rng(13)
+    y = rng.integers(40, 216, size=(24, 32)).astype(np.float64)
+    cb = np.full((24, 32), 100.0)
+    cr = np.full((24, 32), 160.0)
+    payload = _make_jpeg([(y, 2, 2), (cb, 1, 1), (cr, 1, 1)], 32, 24)
+    out = _decode_jpeg(payload)
+    assert out is not None
+    w, h, feat = out
+    assert (w, h) == (32, 24)
+    # reconstruct expected RGB means from the YCbCr definition
+    yv, cbv, crv = y.mean(), 100.0, 160.0
+    r = yv + 1.402 * (crv - 128)
+    g = yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128)
+    b = yv + 1.772 * (cbv - 128)
+    want = np.clip(np.array([r, g, b]), 0, 255) / 255.0
+    for ch in range(3):
+        assert abs(float(feat[ch]) - want[ch]) < 0.02, (ch, feat[:3], want)
+
+
+def test_jpeg_rejects_progressive_and_oversize():
+    from simplecommoncrawlextractor_spark.operators.multimodal import _decode_jpeg
+
+    img = np.full((8, 8), 99.0)
+    good = bytearray(_make_jpeg([(img, 1, 1)], 8, 8))
+    # flip SOF0 (0xC0) to SOF2 progressive (0xC2): must decline to stub
+    i = bytes(good).find(b"\xff\xc0")
+    prog = bytes(good[:i]) + b"\xff\xc2" + bytes(good[i + 2 :])
+    assert _decode_jpeg(prog) is None
+    # declared dimensions past the 2^20-pixel CPU budget: decline
+    j = i + 2 + 2 + 1  # marker + len + precision
+    big = bytearray(good)
+    big[j : j + 4] = (2048).to_bytes(2, "big") + (2048).to_bytes(2, "big")
+    assert _decode_jpeg(bytes(big)) is None
