@@ -7,9 +7,10 @@ training-data-pipeline additions), each (spark, sf_dir) -> DataFrame.
 shared SQL string (operators/cdxview.py) executed verbatim by both engines,
 so derivation skew is impossible; operators themselves are DataFrame code.
 
-Entries without an oracle (pandas-UDF canonicalization, xxhash64-based
-simhash, the stateful scheduler) get the driver's rows-only check and are
-covered by pytest equivalence tests instead (tests/test_scheduler.py).
+48 of the 50 entries are oracled. The two without an oracle — the
+stateful scheduler round and the binary image decode — get the driver's
+rows-only check and are covered by pytest golden/equivalence tests
+instead (tests/test_scheduler.py, tests/test_multimodal_decode.py).
 """
 
 from __future__ import annotations
@@ -548,8 +549,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         politeness top-k — made ORACLE-REPLAYABLE by injecting the
         priority through the operator's own public parameter as a
         48-bit md5-prefix value (DuckDB replays md5 bit-for-bit; the
-        default xxhash64-derived priority stays on the production path
-        and in bench/pytest). With per-URL-unique priorities the
+        default xxhash64-derived priority stays the production path —
+        benched separately as ``frontier_schedule_prod`` in bench.py and
+        exercised by scheduler_one_round + pytest). With per-URL-unique
+        priorities the
         url_hash ordering tiebreak never fires, so selection and
         fetch_rank are exactly window-replayable; the xxhash64 dedup and
         the salt phase still execute for real (salt only pre-filters —

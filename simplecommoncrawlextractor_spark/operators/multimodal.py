@@ -324,6 +324,18 @@ def _receive_extend(bits: np.ndarray, pos: int, s: int) -> tuple[int, int]:
 
 
 def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Exception-safe wrapper: a truncated or malformed marker stream
+    (short SOF/DQT/DHT/DRI/SOS segments on untrusted crawl payloads) must
+    decline to the stub, never crash the Arrow batch — the marker WALK
+    can raise just like the entropy decode, so both live under one
+    except."""
+    try:
+        return _decode_jpeg_parse(payload)
+    except (ValueError, IndexError, KeyError, struct.error):
+        return None
+
+
+def _decode_jpeg_parse(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     """REAL decode of a baseline sequential JPEG (SOF0, 8-bit, 1 or 3
     components, subsampling factors in {1, 2}) with stdlib + numpy: marker
     walk, canonical Huffman entropy decode, dequantize + dezigzag, batched

@@ -511,3 +511,22 @@ def test_jpeg_rejects_progressive_and_oversize():
     big = bytearray(good)
     big[j : j + 4] = (2048).to_bytes(2, "big") + (2048).to_bytes(2, "big")
     assert _decode_jpeg(bytes(big)) is None
+
+
+def test_jpeg_truncated_segments_fall_back_to_stub():
+    """Malformed/truncated marker streams (routine in crawl data) must
+    decline to the stub — never raise out of the Arrow batch."""
+    from simplecommoncrawlextractor_spark.operators.multimodal import _decode_jpeg
+
+    for junk in (
+        b"\xff\xd8\xff\xc0\x00\x04\x08\x00",        # short SOF0
+        b"\xff\xd8\xff\xdb\x00\x05\x00\x01",        # short DQT
+        b"\xff\xd8\xff\xc4\x00\x04\x00\x00",        # short DHT
+        b"\xff\xd8\xff\xdd\x00\x02",                # empty DRI
+        b"\xff\xd8\xff\xda\x00\x02",                # empty SOS
+        b"\xff\xd8\xff\xc0\x00\x0b\x08\x00\x10\x00\x10\x03\x01",  # short comps
+    ):
+        assert _decode_jpeg(junk) is None
+        gw, gh, gf = decode_image(junk)
+        sw, sh, sf = _decode_image_stub(junk)
+        assert (gw, gh) == (sw, sh) and np.array_equal(gf, sf)
