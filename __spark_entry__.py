@@ -468,9 +468,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_bucketed"] = lambda s, d: SIM.ann_bucketed_top1(
         _emb(s, d), dim=64, n_planes=4, n_tables=8, max_bucket=512
     )
-    q["ann_cosine_top1"] = lambda s, d: SIM.cosine_top1(
-        _emb(s, d).filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 2500))
-    )
+    # ann_cosine_top1 (the other brute-force capped verifier) retired in
+    # round 4: three approximate ANN entries remain oracled and the
+    # brute-force baseline keeps its pytest recall comparisons
+    # (tests/test_similarity.py:39,119); its seat carries the SemDeDup
+    # pipeline below.
+    def semantic_dedup_pairs(s, d):
+        """SemDeDup (cluster-then-dedup): quantized-integer Lloyd's
+        k-means (k=16, 2 iterations, deterministic smallest-id init) +
+        within-cluster exact-arithmetic cosine ≥ 0.4 — every stage
+        integer/decimal, so the DuckDB oracle replays the FULL pipeline
+        (both k-means iterations included) bit-for-bit."""
+        return SIM.semantic_near_dup_pairs(_emb(s, d))
+
+    q["semantic_dedup_pairs"] = semantic_dedup_pairs
     # ann_near_dups (the brute-force capped verifier) retired from the
     # roster (round-4): ann_near_dups_bucketed covers the capability and
     # the verifier keeps its pytest equivalence check
@@ -650,7 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_counts", "events_sessionize",
         # similarity (oracled)
         "ann_lsh_bucketed", "ann_multiprobe_top1", "ann_ivf_top1",
-        "ann_near_dups_bucketed", "ann_cosine_top1",
+        "ann_near_dups_bucketed", "semantic_dedup_pairs",
         # rows-only tail (stateful / binary-payload / pandas-UDF paths)
         "scheduler_one_round", "multimodal_image_features",
     ]
@@ -1062,18 +1073,67 @@ SELECT user_id,
 FROM g GROUP BY 1 ORDER BY 1
 """.strip()
 
-    o["ann_cosine_top1"] = """
-WITH samp AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 2500),
+    # semantic_dedup_pairs: the FULL SemDeDup pipeline replayed — float
+    # quantization (floor basis points), deterministic k-means init (16
+    # smallest ids), BOTH Lloyd's iterations with the positive-offset
+    # integer-mean centroid update (so // and div agree), the final
+    # assignment with (distance, cluster) tiebreak, the 512-cluster cap,
+    # and the exact int128 cosine test (dot^2*10^8 >= tau_bp^2*|a|^2*|b|^2).
+    o["semantic_dedup_pairs"] = """
+WITH v AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+  FROM embeddings
+),
+c0 AS (SELECT id AS cluster, q AS c FROM v ORDER BY id LIMIT 16),
+a1 AS (
+  SELECT id, cluster, q FROM (
+    SELECT id, cluster, q, row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn
+    FROM (SELECT v.id, c0.cluster, v.q,
+                 list_sum(list_transform(range(1,65), i -> (v.q[i]-c0.c[i])*(v.q[i]-c0.c[i]))) AS d
+          FROM v CROSS JOIN c0)
+  ) WHERE rn = 1
+),
+s1 AS (
+  SELECT cluster, pos, ((CAST(sum(val) AS BIGINT) + count(*)*10000) // count(*)) - 10000 AS cv
+  FROM (SELECT cluster, u.i AS pos, q[u.i] AS val FROM a1, (SELECT unnest(range(1,65)) AS i) u)
+  GROUP BY 1, 2
+),
+c1 AS (SELECT cluster, list(cv ORDER BY pos) AS c FROM s1 GROUP BY 1),
+a2 AS (
+  SELECT id, cluster, q FROM (
+    SELECT id, cluster, q, row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn
+    FROM (SELECT v.id, c1.cluster, v.q,
+                 list_sum(list_transform(range(1,65), i -> (v.q[i]-c1.c[i])*(v.q[i]-c1.c[i]))) AS d
+          FROM v CROSS JOIN c1)
+  ) WHERE rn = 1
+),
+s2 AS (
+  SELECT cluster, pos, ((CAST(sum(val) AS BIGINT) + count(*)*10000) // count(*)) - 10000 AS cv
+  FROM (SELECT cluster, u.i AS pos, q[u.i] AS val FROM a2, (SELECT unnest(range(1,65)) AS i) u)
+  GROUP BY 1, 2
+),
+c2 AS (SELECT cluster, list(cv ORDER BY pos) AS c FROM s2 GROUP BY 1),
+af AS (
+  SELECT id, cluster, q FROM (
+    SELECT id, cluster, q, row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn
+    FROM (SELECT v.id, c2.cluster, v.q,
+                 list_sum(list_transform(range(1,65), i -> (v.q[i]-c2.c[i])*(v.q[i]-c2.c[i]))) AS d
+          FROM v CROSS JOIN c2)
+  ) WHERE rn = 1
+),
+keep AS (SELECT cluster FROM af GROUP BY 1 HAVING count(*) <= 512),
+t2 AS (SELECT af.* FROM af JOIN keep USING (cluster)),
 pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos
-  FROM samp a, samp b WHERE a.vec_id != b.vec_id
+  SELECT a.cluster, a.id AS id_a, b.id AS id_b,
+         CAST(list_sum(list_transform(range(1,65), i -> a.q[i]*b.q[i])) AS HUGEINT) AS dot,
+         CAST(list_sum(list_transform(range(1,65), i -> a.q[i]*a.q[i])) AS HUGEINT) AS na2,
+         CAST(list_sum(list_transform(range(1,65), i -> b.q[i]*b.q[i])) AS HUGEINT) AS nb2
+  FROM t2 a JOIN t2 b ON a.cluster = b.cluster AND a.id < b.id
 )
-SELECT id_a AS vec_id, id_b AS nn_id FROM (
-  SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn FROM pairs
-) WHERE rn = 1 ORDER BY vec_id
+SELECT cluster, id_a, id_b FROM pairs
+WHERE dot > 0 AND dot*dot*100000000 >= CAST(16000000 AS HUGEINT) * na2 * nb2
+ORDER BY id_a, id_b
 """.strip()
     # SRP weights are pure integer arithmetic (similarity.srp_weight), so the
     # oracle replays the multi-table bucketing bit-for-bit; the per-table

@@ -354,3 +354,154 @@ def embedding_near_dups(
         "cos", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     )
     return sim.filter(F.col("cos") >= threshold).select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: quantized k-means + within-cluster cosine
+# ---------------------------------------------------------------------------
+
+
+def quantized_vectors(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """(id, q array<long>): embeddings quantized to integer basis points
+    via floor(x*scale) — floor (not round) because floor is defined
+    identically in every engine, so the whole semantic-dedup pipeline
+    stays in EXACT integer arithmetic and is bit-replayable by the
+    DuckDB oracle (float sums are association-order-dependent; integer
+    sums are not)."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale).cast("long"),
+    )
+    return emb.select(F.col(id_col).alias("id"), q.alias("q"))
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the K centroids against the
+    table (the standard O(N·K) Lloyd's cost, all JVM-side; K is a small
+    constant, so this is a bounded fan-out, not an N² pair join).
+    Deterministic tiebreak: smallest cluster id wins equal distances."""
+    scored = vecs.join(F.broadcast(centroids)).select(
+        "id", "q", "cluster", _sq_dist(F.col("q"), F.col("c")).alias("d")
+    )
+    return scored.groupBy("id").agg(
+        F.min_by(F.struct("cluster", "q"), F.struct("d", "cluster")).alias("w")
+    ).select("id", F.col("w.cluster").alias("cluster"), F.col("w.q").alias("q"))
+
+
+def kmeans_clusters(
+    emb: DataFrame, k: int = 16, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Quantized Lloyd's k-means over the embeddings table, exact-integer
+    end to end: init centroids are the vectors with the ``k`` smallest
+    ids (deterministic, no RNG); each iteration reassigns then recomputes
+    centroids as the ELEMENTWISE integer mean
+    ``((sum + n*scale) div n) - scale`` — the +n*scale offset keeps the
+    dividend positive so truncating division (Spark ``div``) and flooring
+    division (DuckDB ``//``) agree. Returns (id, cluster).
+
+    Plan shape at 10^10 rows: assignment is a broadcast-K fan-out with
+    map-side min_by combine; the centroid update is one
+    posexplode(64·N) → (cluster, pos) partial-agg shuffle per iteration —
+    both scale-linear, no pairwise stage anywhere."""
+    vecs = quantized_vectors(emb, id_col, vec_col, scale)
+    centroids = (
+        vecs.orderBy("id").limit(k)
+        .select(F.col("id").alias("cluster"), F.col("q").alias("c"))
+    )
+    assigned = None
+    for _ in range(iters):
+        assigned = _assign(vecs, centroids)
+        sums = (
+            assigned.select("cluster", F.posexplode("q").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        )
+        comp = F.expr(f"((s + n * {scale}) div n) - {scale}")
+        centroids = (
+            sums.select("cluster", "pos", comp.alias("cv"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("c")
+            )
+        )
+    final = _assign(vecs, centroids)
+    return final.select(F.col("id").alias(id_col), "cluster")
+
+
+def semantic_near_dup_pairs(
+    emb: DataFrame, k: int = 16, iters: int = 2, tau_bp: int = 4_000,
+    max_cluster: int | None = 512,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) as a Spark plan: k-means-cluster the
+    embeddings, then emit within-cluster pairs whose cosine ≥
+    tau_bp/10000. The cosine test runs in EXACT arithmetic — cos ≥ τ ⟺
+    dot > 0 ∧ (dot² · 10^8) ≥ (tau_bp² · ‖a‖²·‖b‖²) — as decimal(38,0)
+    products (DuckDB replays them as int128), so no float division or
+    sqrt ever runs and the oracle matches bit-for-bit.
+
+    ``max_cluster`` skips degenerate clusters the same way the LSH/
+    SimHash bucket caps do (oracle-mirrored, truncation visible): pair
+    generation is O(Σ cluster²), which a hot cluster would blow up."""
+    clusters = kmeans_clusters(emb, k, iters, id_col, vec_col, scale)
+    vecs = quantized_vectors(emb, id_col, vec_col, scale)
+    tagged = clusters.join(
+        vecs.withColumnRenamed("id", id_col), id_col
+    ).select(id_col, "cluster", "q")
+    if max_cluster is not None:
+        tagged = _cap_groups(tagged, ["cluster"], max_cluster)
+    a = tagged.select(
+        F.col("cluster"), F.col(id_col).alias("id_a"), F.col("q").alias("qa")
+    )
+    b = tagged.select(
+        F.col("cluster"), F.col(id_col).alias("id_b"), F.col("q").alias("qb")
+    )
+    pairs = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    na2 = F.aggregate(
+        F.transform(F.col("qa"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    nb2 = F.aggregate(
+        F.transform(F.col("qb"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = pairs.select(
+        "cluster", "id_a", "id_b",
+        dot.alias("dot"), na2.alias("na2"), nb2.alias("nb2"),
+    )
+    d = F.col("dot").cast("decimal(38,0)")
+    lhs = d * d * F.lit(100_000_000).cast("decimal(38,0)")
+    rhs = (
+        F.lit(tau_bp * tau_bp).cast("decimal(38,0)")
+        * F.col("na2").cast("decimal(38,0)")
+        * F.col("nb2").cast("decimal(38,0)")
+    )
+    return (
+        scored.filter((F.col("dot") > 0) & (lhs >= rhs))
+        .select("cluster", "id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )

@@ -148,3 +148,57 @@ def test_ivf_recall_and_determinism(spark, emb):
     one = ivf_cell_assignments(emb.repartition(1), 67, 3)
     many = ivf_cell_assignments(emb.repartition(16), 67, 3)
     assert one.exceptAll(many).count() == 0 and many.exceptAll(one).count() == 0
+
+
+def test_semantic_dedup_quantized_kmeans_deterministic_and_sound(spark, emb):
+    """SemDeDup pipeline: (a) clustering is parallelism-invariant (exact
+    integer arithmetic, data-derived tiebreaks), (b) every emitted pair
+    really is co-clustered with quantized cosine >= tau, verified against
+    an independent numpy computation, (c) pairs are a subset of the
+    brute-force quantized near-dup set (clustering only PRUNES)."""
+    import numpy as np
+
+    from simplecommoncrawlextractor_spark.operators.similarity import (
+        kmeans_clusters,
+        semantic_near_dup_pairs,
+    )
+
+    one = {r["vec_id"]: r["cluster"] for r in kmeans_clusters(emb).collect()}
+    many = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_clusters(emb.repartition(16)).collect()
+    }
+    assert one == many and len(one) == emb.count()
+
+    rows = emb.select("vec_id", "embedding").collect()
+    q = {
+        r["vec_id"]: np.floor(
+            np.array(r["embedding"], dtype=np.float64) * 10000
+        ).astype(np.int64)
+        for r in rows
+    }
+    tau_bp = 4000
+    got = {
+        (r["id_a"], r["id_b"]): r["cluster"]
+        for r in semantic_near_dup_pairs(emb).collect()
+    }
+    for (ia, ib), cl in got.items():
+        assert one[ia] == cl and one[ib] == cl, "pair not co-clustered"
+        dot = int(q[ia] @ q[ib])
+        na2, nb2 = int(q[ia] @ q[ia]), int(q[ib] @ q[ib])
+        assert dot > 0 and dot * dot * 10**8 >= tau_bp**2 * na2 * nb2
+
+    # brute-force quantized near-dups (all pairs): the clustered result
+    # must be a subset — the cluster stage prunes, never invents
+    ids = sorted(q)
+    brute = set()
+    qm = np.stack([q[i] for i in ids])
+    dots = qm @ qm.T
+    norms = np.einsum("ij,ij->i", qm, qm)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            d = int(dots[x, y])
+            if d > 0 and d * d * 10**8 >= tau_bp**2 * int(norms[x]) * int(norms[y]):
+                brute.add((ids[x], ids[y]))
+    assert set(got) <= brute
+    assert len(got) > 0
