@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "dedup_simhash_prod",  # xxhash64 production path, segment-capped
     "dedup_minhash_prod",  # xxhash64 production path, band-capped
     "frontier_schedule_prod",  # default xxhash64-priority path, no sort
+    "semantic_dedup_pairs",  # SemDeDup: quantized k-means + cluster cosine
 ]
 
 

@@ -172,3 +172,95 @@ def remove_duplicate_segments(
         .join(rebuilt, id_col, "left")
         .select(id_col, F.coalesce(text_col, F.lit("")).alias(text_col))
     )
+
+
+def duplicate_substring_spans(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-duplication spans (the detection half of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): every maximal token range covered by ``n``-token windows
+    whose exact text occurs more than once corpus-wide.
+
+    Returns (id, span_start, span_end, n_windows) with token-index
+    bounds inclusive; overlapping duplicated windows are merged into
+    maximal spans (gaps-and-islands over window positions: a new island
+    starts when the next duplicated window no longer overlaps the
+    running one, i.e. position gap > n-1).
+
+    Scale shape: tokenize once, one window-gram explode (O(tokens)
+    rows), hash-partitioned groupBy on the gram with map-side combine —
+    a 10^8-fold boilerplate gram is one row per partition before the
+    shuffle — then a per-document window pass over only the duplicated
+    positions. The gram TEXT is the key here (oracle-replayable); at
+    10^10 docs swap the key for xxhash64(gram) exactly as
+    ``segment_duplicate_groups`` prescribes, same plan."""
+    from pyspark.sql.window import Window
+
+    toks = F.filter(F.split(F.col(text_col), _WS), lambda x: x != "")
+    nw = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), nw),
+        lambda i: F.struct(
+            (i - 1).alias("pos"),
+            F.concat_ws(" ", F.slice(toks, i, n)).alias("gram"),
+        ),
+    )
+    g = (
+        docs.select(id_col, F.explode(F.when(nw >= 1, grams)).alias("x"))
+        .select(id_col, F.col("x.pos").alias("pos"), F.col("x.gram").alias("gram"))
+    )
+    dup = (
+        g.groupBy("gram").agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("gram")
+    )
+    hits = g.join(dup, "gram", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w)
+    island = F.sum(
+        F.when(gap.isNull() | (gap > n - 1), F.lit(1)).otherwise(F.lit(0))
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    spans = (
+        hits.withColumn("__isl", island)
+        .groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .drop("__isl")
+    )
+    return spans.select(id_col, "span_start", "span_end", "n_windows")
+
+
+def substring_dup_report(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-substring coverage — the filterable gate
+    signal built on ``duplicate_substring_spans``: (id, n_tokens,
+    dup_tokens, dup_cov_bp) where dup_cov_bp = 10000·dup_tokens div
+    n_tokens. Docs with no duplicated span report 0 (still present)."""
+    toks = F.filter(F.split(F.col(text_col), _WS), lambda x: x != "")
+    base = docs.select(id_col, F.size(toks).cast("long").alias("n_tokens"))
+    spans = duplicate_substring_spans(docs, n, text_col, id_col)
+    cov = spans.groupBy(id_col).agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens")
+    )
+    return base.join(cov, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("(10000 * coalesce(dup_tokens, 0)) div n_tokens"),
+        )
+        .otherwise(F.lit(0))
+        .alias("dup_cov_bp"),
+    )

@@ -9,9 +9,11 @@ import pandas as pd
 import pytest
 
 from simplecommoncrawlextractor_spark.operators.textquality import (
+    duplicate_substring_spans,
     remove_duplicate_segments,
     repetition_report,
     segment_duplicate_groups,
+    substring_dup_report,
 )
 
 SEP = "\n\n"
@@ -170,3 +172,65 @@ def test_remove_duplicate_segments_keeps_min_doc_min_pos(spark):
     assert got[2] == "a2\n\ndup"
     assert got[5] == "b5"
     assert got[9] == ""
+
+
+def test_duplicate_substring_spans_matches_duckdb(spark, sf_dir):
+    """Lee-et-al-style duplicated n-gram span detection, replayed in
+    DuckDB: same windows, same corpus-wide dup test, same
+    gaps-and-islands merge."""
+    path = f"{sf_dir}/documents.parquet"
+    n = 8
+    docs = spark.read.parquet(path)
+    got = sorted(
+        tuple(r)
+        for r in duplicate_substring_spans(docs, n=n).collect()
+    )
+    want = sorted(
+        tuple(int(v) for v in row)
+        for row in duckdb.sql(f"""
+WITH t AS (SELECT doc_id, list_filter(string_split_regex(text,'\\s+'), x->x<>'') w
+           FROM read_parquet('{path}')),
+g AS (SELECT doc_id, i-1 AS pos, list_aggregate(w[i:i+{n}-1], 'string_agg', ' ') AS gram
+      FROM t, UNNEST(generate_series(1, len(w)-{n}+1)) u(i) WHERE len(w) >= {n}),
+d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN gap IS NULL OR gap > {n} - 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+        FROM hits)
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + {n} - 1 AS span_end,
+       count(*) AS n_windows
+FROM isl GROUP BY doc_id, island
+""").fetchall()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_substring_dup_report_coverage_bounds(spark, sf_dir):
+    """Coverage is 0 for clean docs, ≤ n_tokens always, and exactly
+    n_tokens for a doc that is a full duplicate of another."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "a b c d e f g h unique tail one",
+                "a b c d e f g h unique tail one",  # full dup of doc 0
+                "totally different words with no overlap at all here",
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    got = {r["doc_id"]: r for r in substring_dup_report(docs, n=8).collect()}
+    assert got[0]["dup_tokens"] == got[0]["n_tokens"] == 11
+    assert got[0]["dup_cov_bp"] == 10000
+    assert got[1]["dup_cov_bp"] == 10000
+    assert got[2]["dup_tokens"] == 0 and got[2]["dup_cov_bp"] == 0
+    for r in got.values():
+        assert 0 <= r["dup_tokens"] <= r["n_tokens"]
