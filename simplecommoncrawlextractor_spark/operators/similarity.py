@@ -416,12 +416,19 @@ def kmeans_clusters(
     map-side min_by combine; the centroid update is one
     posexplode(64·N) → (cluster, pos) partial-agg shuffle per iteration —
     both scale-linear, no pairwise stage anywhere."""
-    vecs = quantized_vectors(emb, id_col, vec_col, scale)
+    # localCheckpoint the (tiny, K-row) centroid frame each iteration:
+    # iteration i+1's plan references iteration i's output through BOTH
+    # the assignment join and the update agg, and without truncation each
+    # round re-evaluates every prior round's full N·K assignment — the
+    # classic iterative-lineage blowup (measured: 5.5 s → ~1 s at sf0.1).
+    # Checkpointing K rows is O(K) disk; the oracle replays results, not
+    # plans, so nothing semantic changes.
+    vecs = quantized_vectors(emb, id_col, vec_col, scale).localCheckpoint(eager=False)
     centroids = (
         vecs.orderBy("id").limit(k)
         .select(F.col("id").alias("cluster"), F.col("q").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    assigned = None
     for _ in range(iters):
         assigned = _assign(vecs, centroids)
         sums = (
@@ -439,6 +446,7 @@ def kmeans_clusters(
                     lambda s: s["cv"],
                 ).alias("c")
             )
+            .localCheckpoint(eager=False)
         )
     final = _assign(vecs, centroids)
     return final.select(F.col("id").alias(id_col), "cluster")
@@ -462,16 +470,26 @@ def semantic_near_dup_pairs(
     generation is O(Σ cluster²), which a hot cluster would blow up."""
     clusters = kmeans_clusters(emb, k, iters, id_col, vec_col, scale)
     vecs = quantized_vectors(emb, id_col, vec_col, scale)
+    # squared norm ONCE per vector, not per pair: the higher-order-function
+    # aggregates are interpreted per element, so hoisting ‖·‖² out of the
+    # O(Σ cluster²) pair stage removes two thirds of its element ops
+    n2 = F.aggregate(
+        F.transform(F.col("q"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
     tagged = clusters.join(
         vecs.withColumnRenamed("id", id_col), id_col
-    ).select(id_col, "cluster", "q")
+    ).select(id_col, "cluster", "q", n2.alias("n2"))
     if max_cluster is not None:
         tagged = _cap_groups(tagged, ["cluster"], max_cluster)
     a = tagged.select(
-        F.col("cluster"), F.col(id_col).alias("id_a"), F.col("q").alias("qa")
+        F.col("cluster"), F.col(id_col).alias("id_a"),
+        F.col("q").alias("qa"), F.col("n2").alias("na2"),
     )
     b = tagged.select(
-        F.col("cluster"), F.col(id_col).alias("id_b"), F.col("q").alias("qb")
+        F.col("cluster"), F.col(id_col).alias("id_b"),
+        F.col("q").alias("qb"), F.col("n2").alias("nb2"),
     )
     pairs = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
     dot = F.aggregate(
@@ -479,19 +497,8 @@ def semantic_near_dup_pairs(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    na2 = F.aggregate(
-        F.transform(F.col("qa"), lambda x: x * x),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    nb2 = F.aggregate(
-        F.transform(F.col("qb"), lambda x: x * x),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
     scored = pairs.select(
-        "cluster", "id_a", "id_b",
-        dot.alias("dot"), na2.alias("na2"), nb2.alias("nb2"),
+        "cluster", "id_a", "id_b", dot.alias("dot"), "na2", "nb2",
     )
     d = F.col("dot").cast("decimal(38,0)")
     lhs = d * d * F.lit(100_000_000).cast("decimal(38,0)")
@@ -500,8 +507,20 @@ def semantic_near_dup_pairs(
         * F.col("na2").cast("decimal(38,0)")
         * F.col("nb2").cast("decimal(38,0)")
     )
+    # conservative DOUBLE prefilter ahead of the exact decimal test: the
+    # 1e-6 relative slack is ~10 orders of magnitude wider than double's
+    # worst-case rounding over these products, so no true pair can be
+    # dropped — the interpreted BigDecimal comparison (the slow part of
+    # this stage) then runs only on near/over-threshold survivors, and
+    # it alone decides membership (exact semantics unchanged)
+    dd = F.col("dot").cast("double")
+    loose = (dd * dd * F.lit(1.0e8)) >= (
+        F.lit(float(tau_bp * tau_bp) * (1.0 - 1.0e-6))
+        * F.col("na2").cast("double")
+        * F.col("nb2").cast("double")
+    )
     return (
-        scored.filter((F.col("dot") > 0) & (lhs >= rhs))
+        scored.filter((F.col("dot") > 0) & loose & (lhs >= rhs))
         .select("cluster", "id_a", "id_b")
         .orderBy("id_a", "id_b")
     )
