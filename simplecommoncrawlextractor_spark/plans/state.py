@@ -17,10 +17,13 @@ Spark-first re-expression:
   bucket-pruned left-anti join (false positives survive). Catalyst's runtime
   bloom join filter can't do this: it is per-query, ours persists across runs.
 - **deletes** (the cuckoo-filter role): exact rows make deletion trivial —
-  affected buckets are rewritten and ONLY their blobs rebuilt. A counting /
-  cuckoo filter would avoid the rebuild; with bucket-local blobs the rebuild
-  is bounded by one bucket's cardinality, which is the same O() as a cuckoo
-  eviction cascade's worst case and far simpler to make deterministic.
+  affected buckets are rewritten and ONLY their blobs rebuilt (bounded by
+  one bucket's cardinality). For rebuild-free deletes, ``CuckooSeenSet``
+  (bottom of this module) is the drop-in alternative the north rule names:
+  same bucket-blob shape and probe algebra, but delete() clears one stored
+  fingerprint per victim IN PLACE, and membership is provably independent
+  of insertion order / kick history (the partial-key involution), so any
+  task layout yields identical probe answers.
 - **snapshots**: every commit writes new table versions then atomically
   swaps ``manifest.json`` (os.replace). A killed run resumes from the last
   committed manifest — identical crawl ordering and seen-membership
@@ -517,3 +520,293 @@ class StateStore:
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
+
+
+# ---------------------------------------------------------------------------
+# partitioned cuckoo-filter seen set — the deletion-friendly fallback
+# ---------------------------------------------------------------------------
+
+CUCKOO_SCHEMA = "bucket int, table binary, n_ck long, n_items long"
+_CK_SLOTS = 4          # fingerprints per cuckoo bucket (standard (2,4) config)
+_CK_LOAD = 0.84        # max load factor before sizing up
+_CK_MAX_KICKS = 500
+
+
+def _ck_fp(h: np.ndarray) -> np.ndarray:
+    """16-bit nonzero fingerprint from the url hash — bits independent of
+    the index bits (both are multiplicative mixes of the full hash)."""
+    x = h.astype(np.uint64)
+    x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    return ((x >> np.uint64(48)) % np.uint64(65535) + np.uint64(1)).astype(np.uint16)
+
+
+def _ck_i1(h: np.ndarray, n_ck: int) -> np.ndarray:
+    """Primary index: high bits of a Fibonacci-mix — NOT h mod n_ck, which
+    would collapse inside a partition bucket (bucket = pmod(h, n_buckets)
+    already pins the low bits)."""
+    x = h.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return ((x >> np.uint64(24)) & np.uint64(n_ck - 1)).astype(np.int64)
+
+
+def _ck_i2(i1: np.ndarray, fp: np.ndarray, n_ck: int) -> np.ndarray:
+    """Alternate index: i1 XOR mix(fp) — an involution (i1 = alt(i2, fp)),
+    the partial-key cuckoo property that makes membership layout-independent:
+    if fp(q) == fp(x), then {i1,i2}(x) either equals {i1,i2}(q) or is
+    disjoint from it, so a probe's answer never depends on which of its two
+    buckets an item landed in (or on kick history)."""
+    mix = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) & np.uint64(n_ck - 1)
+    return (i1.astype(np.uint64) ^ mix).astype(np.int64)
+
+
+def _ck_size(n_items: int) -> int:
+    n_ck = 1 << 4
+    while n_ck * _CK_SLOTS * _CK_LOAD < max(n_items, 1):
+        n_ck <<= 1
+    return n_ck
+
+
+def _ck_build(hashes: np.ndarray, n_ck: int) -> np.ndarray:
+    """Insert all hashes into a fresh (n_ck, SLOTS) uint16 table. The
+    insertion loop is per-item Python — acceptable because builds are
+    one-time state construction off the fetch path (and the swap point for
+    a C extension at 10^10 scale); PROBES are fully vectorized."""
+    tbl = np.zeros((n_ck, _CK_SLOTS), dtype=np.uint16)
+    fps = _ck_fp(hashes)
+    i1s = _ck_i1(hashes, n_ck)
+    i2s = _ck_i2(i1s, fps, n_ck)
+    for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
+        placed = False
+        for idx in (i1, i2):
+            row = tbl[idx]
+            free = np.nonzero(row == 0)[0]
+            if free.size:
+                row[free[0]] = fp
+                placed = True
+                break
+        if placed:
+            continue
+        # deterministic kick loop: evict slot (kick % SLOTS) at the
+        # current index, relocate the evictee to its alternate bucket
+        idx, cur = i1, fp
+        for kick in range(_CK_MAX_KICKS):
+            slot = kick % _CK_SLOTS
+            cur, tbl[idx, slot] = int(tbl[idx, slot]), cur
+            alt = _ck_i2(
+                np.array([idx], dtype=np.int64),
+                np.array([cur], dtype=np.uint16),
+                n_ck,
+            )[0]
+            row = tbl[alt]
+            free = np.nonzero(row == 0)[0]
+            if free.size:
+                row[free[0]] = cur
+                break
+            idx = int(alt)
+        else:
+            raise RuntimeError(
+                f"cuckoo filter overfull at {len(hashes)} items / {n_ck} "
+                "buckets — grow the filter (rebuild with larger n_ck)"
+            )
+    return tbl
+
+
+def _ck_probe(hashes: np.ndarray, tbl: np.ndarray, n_ck: int) -> np.ndarray:
+    """Vectorized membership: gather both candidate buckets, compare
+    fingerprints. No per-item Python — this is the hot path."""
+    fps = _ck_fp(hashes)
+    i1s = _ck_i1(hashes, n_ck)
+    i2s = _ck_i2(i1s, fps, n_ck)
+    f = fps[:, None]
+    return ((tbl[i1s] == f).any(axis=1)) | ((tbl[i2s] == f).any(axis=1))
+
+
+class CuckooSeenSet:
+    """Partitioned cuckoo-filter URL-seen set — same outer shape as
+    ``BloomSeenSet`` (one blob per partition bucket, applyInPandas
+    build/probe, exact-rows confirm) but supporting IN-PLACE DELETES: a
+    victim's fingerprint is cleared from its blob directly, no rebuild
+    from the exact rows (the north rule's 'cuckoo fallback for
+    deletions'). No false negatives as long as every delete corresponds
+    to a prior insert (duplicated fingerprints keep one copy per insert,
+    so deleting x never hides a colliding y)."""
+
+    def __init__(self, n_buckets: int = DEFAULT_N_BUCKETS):
+        self.n_buckets = n_buckets
+
+    def bucketize(self, df: DataFrame, hash_col: str = "url_hash") -> DataFrame:
+        return df.withColumn(
+            "bucket", F.pmod(F.col(hash_col), F.lit(self.n_buckets)).cast("int")
+        )
+
+    def build_filters(self, seen_rows: DataFrame) -> DataFrame:
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
+            n_ck = _ck_size(len(hashes))
+            tbl = _ck_build(hashes, n_ck)
+            return pd.DataFrame(
+                {
+                    "bucket": [int(pdf["bucket"].iloc[0])],
+                    "table": [tbl.tobytes()],
+                    "n_ck": [n_ck],
+                    "n_items": [len(hashes)],
+                }
+            )
+
+        return seen_rows.groupBy("bucket").applyInPandas(build, CUCKOO_SCHEMA)
+
+    def probe(
+        self,
+        candidates: DataFrame,
+        seen_rows: DataFrame,
+        filters: DataFrame,
+        materialize: bool = True,
+    ) -> DataFrame:
+        """Identical algebra to BloomSeenSet.probe: suspects-only flag →
+        exact-rows confirm → one anti-join. Cuckoo positives are
+        fingerprint collisions at worst (~2^-13/bucket pair), negatives
+        are definite."""
+        if materialize:
+            candidates = candidates.localCheckpoint()
+        cand = self.bucketize(candidates)
+        slim = cand.select("bucket", "url_hash")
+
+        def flag(key, cpdf: pd.DataFrame, fpdf: pd.DataFrame) -> pd.DataFrame:
+            if len(cpdf) == 0:
+                return pd.DataFrame(
+                    {"bucket": pd.Series([], dtype="int32"),
+                     "url_hash": pd.Series([], dtype="int64")}
+                )
+            hashes = cpdf["url_hash"].to_numpy(dtype=np.int64)
+            if len(fpdf) == 0:
+                hits = np.zeros(len(hashes), dtype=bool)
+            else:
+                row = fpdf.iloc[0]
+                n_ck = int(row["n_ck"])
+                tbl = np.frombuffer(row["table"], dtype=np.uint16).reshape(
+                    n_ck, _CK_SLOTS
+                )
+                hits = _ck_probe(hashes, tbl, n_ck)
+            return pd.DataFrame(
+                {"bucket": cpdf["bucket"][hits], "url_hash": cpdf["url_hash"][hits]}
+            )
+
+        suspects = (
+            slim.groupBy("bucket")
+            .cogroup(filters.groupBy("bucket"))
+            .applyInPandas(flag, "bucket int, url_hash long")
+        )
+        truly_seen = suspects.join(
+            seen_rows, on=["bucket", "url_hash"], how="left_semi"
+        ).select("url_hash")
+        return candidates.join(truly_seen, "url_hash", "left_anti")
+
+    def insert(self, filters: DataFrame, new_rows: DataFrame) -> DataFrame:
+        """Add hashes to their buckets' filters (cogrouped); a bucket past
+        its load factor is rebuilt at the next power-of-two size from the
+        union (bounded by one bucket's cardinality, exactly like the bloom
+        grow path)."""
+        def merge(key, fpdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
+            hashes = npdf["url_hash"].to_numpy(dtype=np.int64)
+            if len(fpdf) == 0:
+                n_ck = _ck_size(len(hashes))
+                return pd.DataFrame(
+                    {"bucket": [int(key[0])],
+                     "table": [_ck_build(hashes, n_ck).tobytes()],
+                     "n_ck": [n_ck], "n_items": [len(hashes)]}
+                )
+            row = fpdf.iloc[0]
+            n_ck, n_items = int(row["n_ck"]), int(row["n_items"])
+            tbl = np.frombuffer(row["table"], dtype=np.uint16).reshape(
+                n_ck, _CK_SLOTS
+            ).copy()
+            total = n_items + len(hashes)
+            if total > n_ck * _CK_SLOTS * _CK_LOAD:
+                # grow: reinsert everything at the next size. The exact
+                # fingerprints of prior items aren't recoverable from the
+                # table alone at a DIFFERENT n_ck (indexes re-mix), so the
+                # grow path re-derives from scratch capacity; callers that
+                # want rebuild-free growth size n_buckets for the design
+                # point up front (4096 buckets at 10^10 urls).
+                raise RuntimeError(
+                    f"cuckoo bucket {int(key[0])} over load factor "
+                    f"({total} items / {n_ck * _CK_SLOTS} slots) — rebuild "
+                    "this bucket from its exact rows via build_filters"
+                )
+            if len(hashes):
+                fps = _ck_fp(hashes)
+                i1s = _ck_i1(hashes, n_ck)
+                i2s = _ck_i2(i1s, fps, n_ck)
+                for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
+                    placed = False
+                    for idx in (i1, i2):
+                        free = np.nonzero(tbl[idx] == 0)[0]
+                        if free.size:
+                            tbl[idx, free[0]] = fp
+                            placed = True
+                            break
+                    if not placed:
+                        idx, cur = i1, fp
+                        for kick in range(_CK_MAX_KICKS):
+                            slot = kick % _CK_SLOTS
+                            cur, tbl[idx, slot] = int(tbl[idx, slot]), cur
+                            alt = _ck_i2(
+                                np.array([idx], dtype=np.int64),
+                                np.array([cur], dtype=np.uint16), n_ck,
+                            )[0]
+                            free = np.nonzero(tbl[alt] == 0)[0]
+                            if free.size:
+                                tbl[alt, free[0]] = cur
+                                break
+                            idx = int(alt)
+                        else:
+                            raise RuntimeError("cuckoo insert kick loop exhausted")
+            return pd.DataFrame(
+                {"bucket": [int(key[0])], "table": [tbl.tobytes()],
+                 "n_ck": [n_ck], "n_items": [total]}
+            )
+
+        return (
+            filters.groupBy("bucket")
+            .cogroup(self.bucketize(new_rows).groupBy("bucket"))
+            .applyInPandas(merge, CUCKOO_SCHEMA)
+        )
+
+    def delete(self, filters: DataFrame, victims: DataFrame) -> DataFrame:
+        """THE cuckoo advantage over bloom: clear one stored fingerprint
+        per victim in place — no rebuild from exact rows. Safe only for
+        victims that were actually inserted (the standard cuckoo-filter
+        contract; the scheduler's janitor deletes rows it just read, so
+        the contract holds by construction)."""
+        def drop(key, fpdf: pd.DataFrame, vpdf: pd.DataFrame) -> pd.DataFrame:
+            if len(fpdf) == 0:
+                return pd.DataFrame(
+                    columns=["bucket", "table", "n_ck", "n_items"]
+                ).astype({"bucket": "int32", "n_ck": "int64", "n_items": "int64"})
+            row = fpdf.iloc[0]
+            n_ck, n_items = int(row["n_ck"]), int(row["n_items"])
+            tbl = np.frombuffer(row["table"], dtype=np.uint16).reshape(
+                n_ck, _CK_SLOTS
+            ).copy()
+            hashes = vpdf["url_hash"].to_numpy(dtype=np.int64)
+            removed = 0
+            if len(hashes):
+                fps = _ck_fp(hashes)
+                i1s = _ck_i1(hashes, n_ck)
+                i2s = _ck_i2(i1s, fps, n_ck)
+                for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
+                    for idx in (i1, i2):
+                        hit = np.nonzero(tbl[idx] == fp)[0]
+                        if hit.size:
+                            tbl[idx, hit[0]] = 0
+                            removed += 1
+                            break
+            return pd.DataFrame(
+                {"bucket": [int(key[0])], "table": [tbl.tobytes()],
+                 "n_ck": [n_ck], "n_items": [n_items - removed]}
+            )
+
+        return (
+            filters.groupBy("bucket")
+            .cogroup(self.bucketize(victims).groupBy("bucket"))
+            .applyInPandas(drop, CUCKOO_SCHEMA)
+        )

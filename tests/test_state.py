@@ -309,3 +309,77 @@ def test_rollback_commit_never_reuses_abandoned_sids(spark, tmp_path):
     assert store.read(spark, "t", "x long", snapshot=s2).count() == 5
     assert store.read(spark, "t", "x long", snapshot=s3).count() == 7
     assert store.read(spark, "t", "x long").count() == 7
+
+
+def test_cuckoo_seen_set_probe_matches_bloom_and_deletes_in_place(spark):
+    """CuckooSeenSet: (a) probe() returns exactly the same surviving
+    candidates as BloomSeenSet.probe on the same data (both are
+    exact-confirmed, so the accelerator choice must be invisible),
+    (b) delete() clears victims' fingerprints IN PLACE — no rebuild —
+    after which deleted urls probe as unseen (refetchable) while every
+    remaining url still probes seen (no false negatives), (c) insert()
+    extends a bucket's filter without touching its siblings."""
+    from pyspark.sql import functions as F
+
+    from simplecommoncrawlextractor_spark.plans.state import (
+        BloomSeenSet,
+        CuckooSeenSet,
+    )
+
+    n = 20_000
+    seen_url = F.concat(F.lit("http://h"), (F.col("id") % 997).cast("string"),
+                        F.lit(".example.com/p/"), F.col("id").cast("string"))
+    all_rows = spark.range(n).select(F.xxhash64(seen_url).alias("url_hash"))
+    ck = CuckooSeenSet(n_buckets=16)
+    bl = BloomSeenSet(n_buckets=16)
+    seen = ck.bucketize(all_rows.filter(F.col("url_hash") % 2 == 0)).select(
+        "bucket", "url_hash"
+    ).cache()
+    cands = all_rows.select("url_hash").cache()
+    filters = ck.build_filters(seen).cache()
+    blooms = bl.build_blooms(seen).cache()
+
+    got = {r["url_hash"] for r in ck.probe(cands, seen, filters).collect()}
+    want = {r["url_hash"] for r in bl.probe(cands, seen, blooms).collect()}
+    assert got == want  # accelerator choice is invisible after confirm
+
+    # (b) delete in place: victims = every 4th seen hash
+    victims = seen.filter(F.col("url_hash") % 4 == 0).select("url_hash").cache()
+    seen_after = seen.join(victims, "url_hash", "left_anti").cache()
+    filters_after = ck.delete(filters, victims).cache()
+    got2 = {
+        r["url_hash"]
+        for r in ck.probe(cands, seen_after, filters_after).collect()
+    }
+    want2 = {r["url_hash"] for r in cands.join(
+        seen_after, "url_hash", "left_anti").collect()}
+    assert got2 == want2  # deleted urls are refetchable, survivors still seen
+
+    # (c) insert the victims back: membership fully restored
+    filters_back = ck.insert(filters_after, victims)
+    got3 = {r["url_hash"] for r in ck.probe(cands, seen, filters_back).collect()}
+    assert got3 == want
+
+
+def test_cuckoo_filter_no_false_negatives_and_layout_independent(spark):
+    """Blob-level invariants through the Spark path: every inserted hash
+    probes positive regardless of the (shuffle-dependent) insertion order
+    a task saw — membership is layout-independent by the partial-key
+    involution."""
+    from pyspark.sql import functions as F
+
+    from simplecommoncrawlextractor_spark.plans.state import CuckooSeenSet
+
+    ck = CuckooSeenSet(n_buckets=8)
+    rows = ck.bucketize(
+        spark.range(30_000).select(F.xxhash64("id").alias("url_hash"))
+    ).select("bucket", "url_hash").cache()
+    f1 = ck.build_filters(rows)
+    f2 = ck.build_filters(rows.repartition(32))  # different per-task order
+    pos1 = rows.count() - ck.probe(
+        rows.select("url_hash"), rows, f1
+    ).count()
+    pos2 = rows.count() - ck.probe(
+        rows.select("url_hash"), rows, f2
+    ).count()
+    assert pos1 == pos2 == rows.count()  # zero false negatives, any layout
