@@ -565,15 +565,48 @@ def _ck_size(n_items: int) -> int:
     return n_ck
 
 
+def _bulk_place(
+    tbl: np.ndarray, idx: np.ndarray, fps: np.ndarray
+) -> np.ndarray:
+    """Vectorized bucket placement pass: for each (idx, fp) pair, claim a
+    free slot of bucket ``idx`` if its remaining capacity allows (first-
+    come by position). Returns the boolean placed mask. One np.unique +
+    cumcount — no per-item Python."""
+    order = np.argsort(idx, kind="stable")
+    sidx = idx[order]
+    # rank of each item within its bucket group (0,1,2,... per bucket)
+    uniq, starts, counts = np.unique(sidx, return_index=True, return_counts=True)
+    rank = np.arange(len(sidx)) - np.repeat(starts, counts)
+    free = _CK_SLOTS - np.count_nonzero(tbl[uniq], axis=1)
+    can = rank < np.repeat(free, counts)
+    # slot index = existing occupancy + within-bucket rank
+    occ = np.count_nonzero(tbl[sidx], axis=1)
+    placed = np.zeros(len(idx), dtype=bool)
+    sel = order[can]
+    tbl[idx[sel], (occ[can] + rank[can])] = fps[sel]
+    placed[sel] = True
+    return placed
+
+
 def _ck_build(hashes: np.ndarray, n_ck: int) -> np.ndarray:
-    """Insert all hashes into a fresh (n_ck, SLOTS) uint16 table. The
-    insertion loop is per-item Python — acceptable because builds are
-    one-time state construction off the fetch path (and the swap point for
-    a C extension at 10^10 scale); PROBES are fully vectorized."""
+    """Insert all hashes into a fresh (n_ck, SLOTS) uint16 table.
+
+    Two vectorized bulk passes place the overwhelming majority (primary
+    buckets, then alternates for the spillover); only the residual
+    contended tail walks the per-item kick loop — at the 0.84 design
+    load that tail is a few percent, so the build is numpy-speed, and
+    PROBES are fully vectorized regardless."""
     tbl = np.zeros((n_ck, _CK_SLOTS), dtype=np.uint16)
     fps = _ck_fp(hashes)
     i1s = _ck_i1(hashes, n_ck)
     i2s = _ck_i2(i1s, fps, n_ck)
+    if len(hashes) > 64:
+        placed = _bulk_place(tbl, i1s, fps)
+        rem = ~placed
+        placed2 = np.zeros(len(hashes), dtype=bool)
+        placed2[rem] = _bulk_place(tbl, i2s[rem], fps[rem])
+        rem = rem & ~placed2
+        fps, i1s, i2s = fps[rem], i1s[rem], i2s[rem]
     for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
         placed = False
         for idx in (i1, i2):
