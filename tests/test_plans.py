@@ -111,3 +111,37 @@ def test_dedup_caps_no_join_branch_reevaluation(spark, sf_dir):
         n_scans = plan.count("documents.parquet")
         assert n_scans == 1, (name, n_scans)
         assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_plan_no_cartesian_no_python(spark, sf_dir):
+    """SemDeDup plan audit: the k-means fan-out is a broadcast of K
+    centroids (bounded constant — BroadcastNestedLoop over 16 rows is the
+    intended shape, NOT a row×row cartesian), the pair stage is a
+    cluster-key equi-join, and no Python UDF appears anywhere (the whole
+    pipeline is JVM expressions over arrays)."""
+    from simplecommoncrawlextractor_spark.operators.similarity import (
+        semantic_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(semantic_near_dup_pairs(emb))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the within-cluster pair stage joins on the cluster key
+    assert "cluster" in plan
+
+
+def test_substring_spans_single_explode_and_partial_agg(spark, sf_dir):
+    """Duplicated-substring spans: the gram groupBy partial-aggregates
+    map-side (boilerplate grams collapse before the shuffle) and no
+    Python UDF appears — tokenize/window-gram generation is all JVM
+    higher-order functions."""
+    from simplecommoncrawlextractor_spark.operators.textquality import (
+        duplicate_substring_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(duplicate_substring_spans(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final on the gram key
