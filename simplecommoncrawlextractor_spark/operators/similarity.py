@@ -402,7 +402,7 @@ def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
 def kmeans_clusters(
     emb: DataFrame, k: int = 16, iters: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    scale: int = 10_000,
+    scale: int = 10_000, with_vectors: bool = False,
 ) -> DataFrame:
     """Quantized Lloyd's k-means over the embeddings table, exact-integer
     end to end: init centroids are the vectors with the ``k`` smallest
@@ -410,19 +410,26 @@ def kmeans_clusters(
     centroids as the ELEMENTWISE integer mean
     ``((sum + n*scale) div n) - scale`` — the +n*scale offset keeps the
     dividend positive so truncating division (Spark ``div``) and flooring
-    division (DuckDB ``//``) agree. Returns (id, cluster).
+    division (DuckDB ``//``) agree. Returns (id, cluster); with
+    ``with_vectors=True`` also the quantized vector ``q`` (the final
+    assignment carries it anyway — callers that need q avoid a second
+    scan+quantize pass).
 
     Plan shape at 10^10 rows: assignment is a broadcast-K fan-out with
     map-side min_by combine; the centroid update is one
     posexplode(64·N) → (cluster, pos) partial-agg shuffle per iteration —
     both scale-linear, no pairwise stage anywhere."""
-    # localCheckpoint the (tiny, K-row) centroid frame each iteration:
-    # iteration i+1's plan references iteration i's output through BOTH
-    # the assignment join and the update agg, and without truncation each
-    # round re-evaluates every prior round's full N·K assignment — the
-    # classic iterative-lineage blowup (measured: 5.5 s → ~1 s at sf0.1).
-    # Checkpointing K rows is O(K) disk; the oracle replays results, not
-    # plans, so nothing semantic changes.
+    # localCheckpoint both loop-carried frames: iteration i+1's plan
+    # references iteration i's output through BOTH the assignment join
+    # and the update agg, and without truncation each round re-evaluates
+    # every prior round's full N·K assignment — the classic iterative-
+    # lineage blowup (measured ~2x on this pipeline at sf0.1). The
+    # centroid frame is K rows (O(K) storage); ``vecs`` is the FULL
+    # N-row quantized table — at the 10^10 design point that checkpoint
+    # is dataset-sized executor storage, the standard price every
+    # iterative Spark algorithm (GraphX, MLlib k-means) pays to keep
+    # per-round work O(N) instead of O(rounds*N). The oracle replays
+    # results, not plans, so nothing semantic changes.
     vecs = quantized_vectors(emb, id_col, vec_col, scale).localCheckpoint(eager=False)
     centroids = (
         vecs.orderBy("id").limit(k)
@@ -449,6 +456,8 @@ def kmeans_clusters(
             .localCheckpoint(eager=False)
         )
     final = _assign(vecs, centroids)
+    if with_vectors:
+        return final.select(F.col("id").alias(id_col), "cluster", "q")
     return final.select(F.col("id").alias(id_col), "cluster")
 
 
@@ -468,8 +477,11 @@ def semantic_near_dup_pairs(
     ``max_cluster`` skips degenerate clusters the same way the LSH/
     SimHash bucket caps do (oracle-mirrored, truncation visible): pair
     generation is O(Σ cluster²), which a hot cluster would blow up."""
-    clusters = kmeans_clusters(emb, k, iters, id_col, vec_col, scale)
-    vecs = quantized_vectors(emb, id_col, vec_col, scale)
+    # the final assignment already carries q — no second scan+quantize
+    # pass, no N-row reattach join
+    clusters = kmeans_clusters(
+        emb, k, iters, id_col, vec_col, scale, with_vectors=True
+    )
     # squared norm ONCE per vector, not per pair: the higher-order-function
     # aggregates are interpreted per element, so hoisting ‖·‖² out of the
     # O(Σ cluster²) pair stage removes two thirds of its element ops
@@ -478,9 +490,10 @@ def semantic_near_dup_pairs(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    tagged = clusters.join(
-        vecs.withColumnRenamed("id", id_col), id_col
-    ).select(id_col, "cluster", "q", n2.alias("n2"))
+    # checkpointed: _cap_groups consumes it through two join branches
+    tagged = clusters.select(
+        id_col, "cluster", "q", n2.alias("n2")
+    ).localCheckpoint(eager=False)
     if max_cluster is not None:
         tagged = _cap_groups(tagged, ["cluster"], max_cluster)
     a = tagged.select(

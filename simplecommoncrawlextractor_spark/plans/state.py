@@ -151,43 +151,20 @@ class BloomSeenSet:
         the round, not the lineage) is the one the engine already makes.
         Pass False when the caller has already persisted the batch.
         """
-        if materialize:
-            candidates = candidates.localCheckpoint()
-        cand = self.bucketize(candidates)
-        # Only the 16-byte (bucket, url_hash) pair crosses the Arrow
-        # boundary — never the full candidate row. At 10^10 scale the
-        # candidate payload (urls, timestamps) is 10-50× wider than the
-        # hash; keeping it JVM-side cuts the Python serialization bill by
-        # that factor. Survivor hashes join back JVM-side.
-        slim = cand.select("bucket", "url_hash")
+        # the skeleton lives in _suspects_probe, shared with
+        # CuckooSeenSet so the two backends cannot drift: only the
+        # 16-byte (bucket, url_hash) pair crosses the Arrow boundary —
+        # never the full candidate row (at 10^10 scale the candidate
+        # payload is 10-50× wider than the hash)
 
-        def flag(key, cpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
-            if len(cpdf) == 0:
-                return pd.DataFrame(
-                    {"bucket": pd.Series([], dtype="int32"),
-                     "url_hash": pd.Series([], dtype="int64")}
-                )
-            hashes = cpdf["url_hash"].to_numpy(dtype=np.int64)
-            if len(bpdf) == 0:
-                hits = np.zeros(len(hashes), dtype=bool)
-            else:
-                row = bpdf.iloc[0]
-                hits = _test_blob(
-                    hashes, row["bitmap"], int(row["n_bits"]), int(row["n_hashes"])
-                )
-            return pd.DataFrame(
-                {"bucket": cpdf["bucket"][hits], "url_hash": cpdf["url_hash"][hits]}
+        def hits(row, hashes):
+            return _test_blob(
+                hashes, row["bitmap"], int(row["n_bits"]), int(row["n_hashes"])
             )
 
-        suspects = (
-            slim.groupBy("bucket")
-            .cogroup(blooms.groupBy("bucket"))
-            .applyInPandas(flag, "bucket int, url_hash long")
+        return _suspects_probe(
+            self, candidates, seen_rows, blooms, hits, materialize
         )
-        truly_seen = suspects.join(
-            seen_rows, on=["bucket", "url_hash"], how="left_semi"
-        ).select("url_hash")
-        return candidates.join(truly_seen, "url_hash", "left_anti")
 
     def merge_blooms(self, blooms: DataFrame, new_rows: DataFrame) -> DataFrame:
         """OR new hashes into existing blobs (cogrouped per bucket); grows a
@@ -597,6 +574,11 @@ def _ck_build(hashes: np.ndarray, n_ck: int) -> np.ndarray:
     load that tail is a few percent, so the build is numpy-speed, and
     PROBES are fully vectorized regardless."""
     tbl = np.zeros((n_ck, _CK_SLOTS), dtype=np.uint16)
+    # a seen SET holds each hash once: dedupe the batch first. This also
+    # protects the kick loop — every copy of one hash shares a single
+    # bucket pair (2·SLOTS slots at ANY table size), so a 9th copy could
+    # never place and growing n_ck would not help
+    hashes = np.unique(hashes)
     fps = _ck_fp(hashes)
     i1s = _ck_i1(hashes, n_ck)
     i2s = _ck_i2(i1s, fps, n_ck)
@@ -637,8 +619,10 @@ def _ck_build(hashes: np.ndarray, n_ck: int) -> np.ndarray:
             idx = int(alt)
         else:
             raise RuntimeError(
-                f"cuckoo filter overfull at {len(hashes)} items / {n_ck} "
-                "buckets — grow the filter (rebuild with larger n_ck)"
+                f"cuckoo filter overfull at {len(hashes)} distinct items / "
+                f"{n_ck * _CK_SLOTS} slots — rebuild this bucket's blob from "
+                "its exact rows at a larger capacity (build_filters sizes by "
+                "item count), or raise n_buckets for the design point"
             )
     return tbl
 
@@ -653,15 +637,63 @@ def _ck_probe(hashes: np.ndarray, tbl: np.ndarray, n_ck: int) -> np.ndarray:
     return ((tbl[i1s] == f).any(axis=1)) | ((tbl[i2s] == f).any(axis=1))
 
 
+def _suspects_probe(
+    seen_set, candidates: DataFrame, seen_rows: DataFrame, blobs: DataFrame,
+    blob_hits, materialize: bool,
+) -> DataFrame:
+    """Shared probe skeleton for the bucket-blob seen sets: suspects-only
+    cogroup flag → bucket-pruned exact confirm → ONE anti-join, with only
+    the 16-byte (bucket, url_hash) pair crossing the Arrow boundary.
+    ``blob_hits(row, hashes)`` is the per-blob membership test (bloom bit
+    probe / cuckoo fingerprint gather). See BloomSeenSet.probe for the
+    measured algebra and the materialize/localCheckpoint rationale — the
+    semantics here must stay in lockstep for BOTH backends."""
+    if materialize:
+        candidates = candidates.localCheckpoint()
+    cand = seen_set.bucketize(candidates)
+    slim = cand.select("bucket", "url_hash")
+
+    def flag(key, cpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cpdf) == 0:
+            return pd.DataFrame(
+                {"bucket": pd.Series([], dtype="int32"),
+                 "url_hash": pd.Series([], dtype="int64")}
+            )
+        hashes = cpdf["url_hash"].to_numpy(dtype=np.int64)
+        if len(bpdf) == 0:
+            hits = np.zeros(len(hashes), dtype=bool)
+        else:
+            hits = blob_hits(bpdf.iloc[0], hashes)
+        return pd.DataFrame(
+            {"bucket": cpdf["bucket"][hits], "url_hash": cpdf["url_hash"][hits]}
+        )
+
+    suspects = (
+        slim.groupBy("bucket")
+        .cogroup(blobs.groupBy("bucket"))
+        .applyInPandas(flag, "bucket int, url_hash long")
+    )
+    truly_seen = suspects.join(
+        seen_rows, on=["bucket", "url_hash"], how="left_semi"
+    ).select("url_hash")
+    return candidates.join(truly_seen, "url_hash", "left_anti")
+
+
 class CuckooSeenSet:
     """Partitioned cuckoo-filter URL-seen set — same outer shape as
     ``BloomSeenSet`` (one blob per partition bucket, applyInPandas
     build/probe, exact-rows confirm) but supporting IN-PLACE DELETES: a
     victim's fingerprint is cleared from its blob directly, no rebuild
     from the exact rows (the north rule's 'cuckoo fallback for
-    deletions'). No false negatives as long as every delete corresponds
-    to a prior insert (duplicated fingerprints keep one copy per insert,
-    so deleting x never hides a colliding y)."""
+    deletions'). Each DISTINCT hash is stored once (build/insert batches
+    are deduped — all copies of one hash share a single bucket pair, so
+    extra copies add nothing and would only exhaust the kick loop);
+    distinct hashes that collide in (fingerprint, bucket pair) keep
+    separate copies, so deleting x never hides a colliding y. No false
+    negatives as long as every delete corresponds to a prior insert of
+    that hash and a hash is not re-inserted across batches (the seen-set
+    flow guarantees both: only probe-survivors insert, and the janitor
+    deletes rows it just read)."""
 
     def __init__(self, n_buckets: int = DEFAULT_N_BUCKETS):
         self.n_buckets = n_buckets
@@ -694,52 +726,32 @@ class CuckooSeenSet:
         filters: DataFrame,
         materialize: bool = True,
     ) -> DataFrame:
-        """Identical algebra to BloomSeenSet.probe: suspects-only flag →
-        exact-rows confirm → one anti-join. Cuckoo positives are
-        fingerprint collisions at worst (~2^-13/bucket pair), negatives
-        are definite."""
-        if materialize:
-            candidates = candidates.localCheckpoint()
-        cand = self.bucketize(candidates)
-        slim = cand.select("bucket", "url_hash")
+        """Same algebra as BloomSeenSet.probe (shared skeleton —
+        _suspects_probe). Cuckoo positives are fingerprint collisions at
+        worst (~2^-13/bucket pair), negatives are definite."""
 
-        def flag(key, cpdf: pd.DataFrame, fpdf: pd.DataFrame) -> pd.DataFrame:
-            if len(cpdf) == 0:
-                return pd.DataFrame(
-                    {"bucket": pd.Series([], dtype="int32"),
-                     "url_hash": pd.Series([], dtype="int64")}
-                )
-            hashes = cpdf["url_hash"].to_numpy(dtype=np.int64)
-            if len(fpdf) == 0:
-                hits = np.zeros(len(hashes), dtype=bool)
-            else:
-                row = fpdf.iloc[0]
-                n_ck = int(row["n_ck"])
-                tbl = np.frombuffer(row["table"], dtype=np.uint16).reshape(
-                    n_ck, _CK_SLOTS
-                )
-                hits = _ck_probe(hashes, tbl, n_ck)
-            return pd.DataFrame(
-                {"bucket": cpdf["bucket"][hits], "url_hash": cpdf["url_hash"][hits]}
+        def hits(row, hashes):
+            n_ck = int(row["n_ck"])
+            tbl = np.frombuffer(row["table"], dtype=np.uint16).reshape(
+                n_ck, _CK_SLOTS
             )
+            return _ck_probe(hashes, tbl, n_ck)
 
-        suspects = (
-            slim.groupBy("bucket")
-            .cogroup(filters.groupBy("bucket"))
-            .applyInPandas(flag, "bucket int, url_hash long")
+        return _suspects_probe(
+            self, candidates, seen_rows, filters, hits, materialize
         )
-        truly_seen = suspects.join(
-            seen_rows, on=["bucket", "url_hash"], how="left_semi"
-        ).select("url_hash")
-        return candidates.join(truly_seen, "url_hash", "left_anti")
 
     def insert(self, filters: DataFrame, new_rows: DataFrame) -> DataFrame:
-        """Add hashes to their buckets' filters (cogrouped); a bucket past
-        its load factor is rebuilt at the next power-of-two size from the
-        union (bounded by one bucket's cardinality, exactly like the bloom
-        grow path)."""
+        """Add hashes to their buckets' filters (cogrouped). Batches are
+        deduped (a set stores each hash once). A bucket pushed past its
+        load factor RAISES rather than growing in place: the stored
+        16-bit fingerprints cannot be re-indexed at a different n_ck
+        (indexes re-mix from the full hash), so capacity is fixed at
+        build time — rebuild that bucket from its exact rows via
+        build_filters (bounded by one bucket's cardinality), or size
+        n_buckets for the design point up front (4096 at 10^10 urls)."""
         def merge(key, fpdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
-            hashes = npdf["url_hash"].to_numpy(dtype=np.int64)
+            hashes = np.unique(npdf["url_hash"].to_numpy(dtype=np.int64))
             if len(fpdf) == 0:
                 n_ck = _ck_size(len(hashes))
                 return pd.DataFrame(
@@ -754,12 +766,6 @@ class CuckooSeenSet:
             ).copy()
             total = n_items + len(hashes)
             if total > n_ck * _CK_SLOTS * _CK_LOAD:
-                # grow: reinsert everything at the next size. The exact
-                # fingerprints of prior items aren't recoverable from the
-                # table alone at a DIFFERENT n_ck (indexes re-mix), so the
-                # grow path re-derives from scratch capacity; callers that
-                # want rebuild-free growth size n_buckets for the design
-                # point up front (4096 buckets at 10^10 urls).
                 raise RuntimeError(
                     f"cuckoo bucket {int(key[0])} over load factor "
                     f"({total} items / {n_ck * _CK_SLOTS} slots) — rebuild "
