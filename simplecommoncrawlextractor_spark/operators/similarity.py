@@ -537,3 +537,23 @@ def semantic_near_dup_pairs(
         .select("cluster", "id_a", "id_b")
         .orderBy("id_a", "id_b")
     )
+
+
+def semantic_dedup_representatives(
+    emb: DataFrame, k: int = 16, iters: int = 2, tau_bp: int = 4_000,
+    max_cluster: int | None = 512,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """The complete SemDeDup pipeline end to end: k-means cluster →
+    within-cluster exact-cosine near-dup pairs → transitive closure
+    (large-star/small-star connected components, O(log n) rounds) → keep
+    the min-id representative of every duplicate group. Returns the
+    deduplicated (id) rows — the set a training pipeline feeds onward."""
+    from .dedup import connected_components_star
+
+    pairs = semantic_near_dup_pairs(
+        emb, k, iters, tau_bp, max_cluster, id_col, vec_col
+    ).select(F.col("id_a"), F.col("id_b"))
+    comp = connected_components_star(pairs, emb.select(id_col), id_col)
+    reps = comp.filter(F.col(id_col) == F.col("component")).select(id_col)
+    return reps

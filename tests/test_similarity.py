@@ -202,3 +202,39 @@ def test_semantic_dedup_quantized_kmeans_deterministic_and_sound(spark, emb):
                 brute.add((ids[x], ids[y]))
     assert set(got) <= brute
     assert len(got) > 0
+
+
+def test_semantic_dedup_representatives_keeps_one_per_group(spark, emb):
+    """End-to-end SemDeDup: every near-dup group keeps exactly its min-id
+    member; vectors in no group all survive."""
+    from simplecommoncrawlextractor_spark.operators.similarity import (
+        semantic_dedup_representatives,
+        semantic_near_dup_pairs,
+    )
+
+    pairs = [
+        (r["id_a"], r["id_b"]) for r in semantic_near_dup_pairs(emb).collect()
+    ]
+    # union-find ground truth over the emitted pairs
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    grouped = {x for x in parent}
+    expected = (all_ids - grouped) | {x for x in grouped if find(x) == x}
+    got = {
+        r["vec_id"]
+        for r in semantic_dedup_representatives(emb).collect()
+    }
+    assert got == expected
+    assert len(pairs) > 0
