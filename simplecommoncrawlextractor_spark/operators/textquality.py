@@ -264,3 +264,85 @@ def substring_dup_report(
         .otherwise(F.lit(0))
         .alias("dup_cov_bp"),
     )
+
+
+def remove_duplicate_substrings(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The removal half of Lee et al. 2022: every duplicated ``n``-token
+    window keeps its corpus-FIRST occurrence (min (doc, pos) — a
+    data-derived winner, so any partitioning yields the same corpus) and
+    is cut everywhere else. A token is removed iff some losing duplicated
+    window covers it and no winning one does; non-duplicated text is
+    untouched. Returns (id, text) for every input document, rebuilt in
+    original token order.
+
+    Plan: one window-gram explode (shared shape with
+    ``duplicate_substring_spans``), min_by winner per gram (map-side
+    combine, one row per distinct gram crosses the shuffle), token-range
+    explode of only the DUPLICATED windows (O(n · dup_windows), not
+    O(n · all windows)), per-(doc, token) keep/cut resolution, and a
+    collect_list reassembly identical to ``remove_duplicate_segments``'s."""
+    from pyspark.sql.window import Window  # noqa: F401  (parity with spans)
+
+    toks = F.filter(F.split(F.col(text_col), _WS), lambda x: x != "")
+    base = docs.select(id_col, toks.alias("__toks"))
+    nw = F.size(F.col("__toks")) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), nw),
+        lambda i: F.struct(
+            (i - 1).alias("pos"),
+            F.concat_ws(" ", F.slice(F.col("__toks"), i, n)).alias("gram"),
+        ),
+    )
+    g = base.select(
+        id_col, F.explode(F.when(nw >= 1, grams)).alias("x")
+    ).select(id_col, F.col("x.pos").alias("pos"), F.col("x.gram").alias("gram"))
+    # winner per duplicated gram: min (doc, pos) — with its count so
+    # singleton grams drop out in the same aggregation
+    per_gram = g.groupBy("gram").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("w"),
+        F.count("*").alias("c"),
+    )
+    dup = per_gram.filter(F.col("c") > 1).select(
+        "gram", F.col("w.d").alias("win_doc"), F.col("w.p").alias("win_pos")
+    )
+    hits = g.join(dup, "gram").select(
+        id_col,
+        "pos",
+        (
+            (F.col(id_col) == F.col("win_doc")) & (F.col("pos") == F.col("win_pos"))
+        ).alias("is_winner"),
+    )
+    # expand each duplicated window to its covered token indexes and
+    # resolve per token: cut iff covered by a loser and by no winner
+    covered = hits.select(
+        id_col,
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("ti"),
+        "is_winner",
+    )
+    cut = covered.groupBy(id_col, "ti").agg(
+        (~F.max("is_winner")).alias("__cut")
+    ).filter(F.col("__cut"))
+    # reassemble: original token stream minus the cut indexes
+    stream = base.select(
+        id_col, F.posexplode("__toks").alias("ti", "tok")
+    )
+    kept = stream.join(cut, [id_col, "ti"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ti", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias(text_col)
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(id_col, F.coalesce(text_col, F.lit("")).alias(text_col))
+    )

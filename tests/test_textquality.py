@@ -11,6 +11,7 @@ import pytest
 from simplecommoncrawlextractor_spark.operators.textquality import (
     duplicate_substring_spans,
     remove_duplicate_segments,
+    remove_duplicate_substrings,
     repetition_report,
     segment_duplicate_groups,
     substring_dup_report,
@@ -234,3 +235,79 @@ def test_substring_dup_report_coverage_bounds(spark, sf_dir):
     assert got[2]["dup_tokens"] == 0 and got[2]["dup_cov_bp"] == 0
     for r in got.values():
         assert 0 <= r["dup_tokens"] <= r["n_tokens"]
+
+
+def test_remove_duplicate_substrings_keeps_first_occurrence(spark):
+    """Hand-built: doc 0 and doc 2 share a 10-token run; doc 0 is the
+    corpus-first occurrence and keeps it verbatim, doc 2 loses exactly
+    those tokens; unique text is untouched everywhere."""
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [
+        (0, f"{shared} tail-a tail-b"),
+        (1, "completely unrelated words here that repeat nothing at all ok"),
+        (2, f"lead-x lead-y {shared}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_substrings(docs, n=8).collect()
+    }
+    assert got[0] == f"{shared} tail-a tail-b"      # winner untouched
+    assert got[1] == rows[1][1]                     # clean doc untouched
+    assert got[2] == "lead-x lead-y"                # loser loses the run
+
+
+def test_remove_duplicate_substrings_matches_duckdb(spark, sf_dir):
+    """Corpus replay in DuckDB: same winners (min (doc,pos)), same
+    cut-token resolution, same reassembly."""
+    path = f"{sf_dir}/documents.parquet"
+    n = 8
+    docs = spark.read.parquet(path)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_substrings(docs, n=n).collect()
+    }
+    want = dict(
+        duckdb.sql(f"""
+WITH t AS (SELECT doc_id, list_filter(string_split_regex(text,'\\s+'), x->x<>'') w
+           FROM read_parquet('{path}')),
+g AS (SELECT doc_id, i-1 AS pos, list_aggregate(w[i:i+{n}-1], 'string_agg', ' ') AS gram
+      FROM t, UNNEST(generate_series(1, len(w)-{n}+1)) u(i) WHERE len(w) >= {n}),
+pg AS (
+  SELECT gram, count(*) AS c,
+         min({{'d': doc_id, 'p': pos}}) AS win
+  FROM g GROUP BY gram
+),
+dup AS (SELECT gram, win FROM pg WHERE c > 1),
+hits AS (
+  SELECT g.doc_id, g.pos,
+         (g.doc_id = dup.win.d AND g.pos = dup.win.p) AS is_winner
+  FROM g JOIN dup USING (gram)
+),
+covered AS (
+  SELECT doc_id, u.ti, is_winner
+  FROM hits, UNNEST(generate_series(pos, pos + {n} - 1)) u(ti)
+),
+cut AS (
+  SELECT doc_id, ti FROM covered GROUP BY doc_id, ti
+  HAVING NOT bool_or(is_winner)
+),
+stream AS (
+  SELECT doc_id, u.i - 1 AS ti, w[u.i] AS tok
+  FROM t, UNNEST(generate_series(1, len(w))) u(i)
+),
+kept AS (
+  SELECT s.doc_id, s.ti, s.tok FROM stream s
+  LEFT JOIN cut c ON s.doc_id = c.doc_id AND s.ti = c.ti
+  WHERE c.doc_id IS NULL
+)
+SELECT t.doc_id,
+       coalesce((SELECT string_agg(tok, ' ' ORDER BY ti)
+                 FROM kept k WHERE k.doc_id = t.doc_id), '') AS text
+FROM t
+""").fetchall()
+    )
+    assert got == want
+    assert any(got[d] != r for d, r in
+               ((row[0], row[1]) for row in
+                duckdb.sql(f"SELECT doc_id, text FROM read_parquet('{path}')").fetchall()))
