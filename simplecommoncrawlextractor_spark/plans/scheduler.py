@@ -369,6 +369,35 @@ class CrawlScheduler:
             meta={"round": self.round_no()},
         )
 
+    def fetch_rate_report(self) -> DataFrame:
+        """Per-(round, phase) rollup of the per-partition lineage rows —
+        the fetch-rate/skew dashboard the north rule asks the scheduler to
+        emit: total rows, wall-clock, urls/sec, partition count, and the
+        max/mean partition-rows ratio (the skew signal that tells an
+        operator a hot host or hash imbalance is forming BEFORE it becomes
+        a straggler at 1000 executors)."""
+        m = self.store.read(self.spark, "metrics", METRICS_SCHEMA)
+        return (
+            m.groupBy("round", "phase")
+            .agg(
+                F.sum("rows").alias("rows"),
+                F.max("elapsed_sec").alias("elapsed_sec"),
+                F.count("*").alias("n_partitions"),
+                F.max("rows").alias("max_partition_rows"),
+                (F.sum("rows") / F.count("*")).alias("mean_partition_rows"),
+            )
+            .withColumn(
+                "rows_per_sec",
+                F.col("rows") / F.greatest(F.col("elapsed_sec"), F.lit(1e-9)),
+            )
+            .withColumn(
+                "skew_ratio",
+                F.col("max_partition_rows")
+                / F.greatest(F.col("mean_partition_rows"), F.lit(1e-9)),
+            )
+            .orderBy("round", "phase")
+        )
+
     # -- crawl-order audit trail -------------------------------------------
     def crawl_order(self) -> DataFrame:
         """The materialized crawl ordering: (round, host, fetch_rank, URL)

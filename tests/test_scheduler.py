@@ -194,3 +194,27 @@ def test_dedup_by_hash_tiebreak_is_partition_order_independent(spark):
             got = canonical_candidates(df).collect()
             assert len(got) == 1
             assert got[0]["url"] == "https://t.example.com/p?a=1&b=2"
+
+
+def test_fetch_rate_report_rolls_up_partition_lineage(spark, tmp_path):
+    """The per-(round, phase) fetch-rate/skew rollup: totals match the
+    fetch log, every phase appears, and skew_ratio >= 1 by construction."""
+    from simplecommoncrawlextractor_spark.plans import CrawlScheduler, StateStore
+    from simplecommoncrawlextractor_spark.sources import seed_frontier
+
+    sched = CrawlScheduler(
+        spark, StateStore(str(tmp_path / "st")), host_budget=5, salt_k=4,
+        n_buckets=16,
+    )
+    sched.bootstrap(seed_frontier(spark, n=400))
+    sched.step()
+    rep = sched.fetch_rate_report().collect()
+    assert rep, "no lineage rows emitted"
+    by_phase = {(r["round"], r["phase"]): r for r in rep}
+    fetched = sched.crawl_order().count()
+    fetch_rows = [r for (rnd, ph), r in by_phase.items() if ph == "fetch"]
+    assert fetch_rows and sum(r["rows"] for r in fetch_rows) == fetched
+    assert any(ph == "harvest" for (_, ph) in by_phase)
+    for r in rep:
+        assert r["skew_ratio"] >= 1.0 - 1e-9
+        assert r["rows_per_sec"] > 0
