@@ -383,3 +383,59 @@ def test_cuckoo_filter_no_false_negatives_and_layout_independent(spark):
         rows.select("url_hash"), rows, f2
     ).count()
     assert pos1 == pos2 == rows.count()  # zero false negatives, any layout
+
+
+def test_cuckoo_blob_invariants_property():
+    """Property-based (numpy-level, no Spark): for arbitrary int64 hash
+    multisets — duplicates included — build() never false-negatives,
+    membership is insertion-order independent, and deleting any subset
+    leaves every non-deleted hash positive."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from simplecommoncrawlextractor_spark.plans.state import (
+        _CK_SLOTS,
+        _ck_build,
+        _ck_fp,
+        _ck_i1,
+        _ck_i2,
+        _ck_probe,
+        _ck_size,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-(2**62), max_value=2**62), min_size=1,
+            max_size=400,
+        ),
+        st.randoms(use_true_random=False),
+    )
+    def check(raw, rnd):
+        hashes = np.array(raw, dtype=np.int64)
+        n_ck = _ck_size(len(np.unique(hashes)))
+        tbl = _ck_build(hashes, n_ck)
+        assert _ck_probe(hashes, tbl, n_ck).all()
+        # order independence
+        perm = list(raw)
+        rnd.shuffle(perm)
+        tbl2 = _ck_build(np.array(perm, dtype=np.int64), n_ck)
+        probes = np.array(raw + [x + 1 for x in raw], dtype=np.int64)
+        assert (_ck_probe(probes, tbl, n_ck) == _ck_probe(probes, tbl2, n_ck)).all()
+        # delete half (distinct), survivors stay positive
+        uniq = np.unique(hashes)
+        victims, keep = uniq[::2], uniq[1::2]
+        t3 = tbl.copy()
+        fps, i1s = _ck_fp(victims), _ck_i1(victims, n_ck)
+        i2s = _ck_i2(i1s, fps, n_ck)
+        for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
+            for idx in (i1, i2):
+                hit = np.nonzero(t3[idx] == fp)[0]
+                if hit.size:
+                    t3[idx, hit[0]] = 0
+                    break
+        if len(keep):
+            assert _ck_probe(keep, t3, n_ck).all()
+
+    check()
