@@ -1,0 +1,182 @@
+"""Arrow-kernel backend for the URL canonicalizer.
+
+pandas object-dtype string ops cost ~1 µs/row/pass; the same operations
+as pyarrow.compute kernels (RE2 regex, C++ string transforms) run
+10-30× faster — measured on the frontier kernel's URL shape:
+tier-2 query sort 5.0 s → 0.2 s per 1M rows, regex decomposition
+4.9 s → 0.3 s. Since canonicalization is ~half the north-rule kernel,
+this file is the single hottest code path in the engine. Semantics are
+defined by ``urls._canon_one`` and enforced by
+tests/test_canonicalize_fuzz.py (fuzz equality + idempotence) — this
+module must stay behaviorally identical to the pandas expression of the
+same tiers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# RE2 has no lookaround: tier 1's "no dot segments" guard runs as a
+# second (cheap) substring-regex test instead of a negative lookahead.
+_SIMPLE_CORE = (
+    r"^https?://[a-z0-9\-]+(?:\.[a-z0-9\-]+)+/"
+    r"(?:[a-z0-9._~\-]+/)*[a-z0-9._~\-]*$"
+)
+_DOTSEG = r"/\.{1,2}(/|$)"
+_HTTPS = pa.array(["http", "https"])
+
+
+def _sort_two_params(vals: np.ndarray) -> np.ndarray:
+    """Vectorized k=v&k2=v2 sort (the modal crawl-data query shape):
+    (key, value)-tuple order == raw order of the parts with '=' mapped
+    below every allowed key char (\\x00), because the plain-query char
+    class starts above \\x00 — so one replace + one compare replaces the
+    per-row split/sorted/join."""
+    a2 = pa.array(vals)
+    parts = pc.split_pattern(a2, "&", max_splits=1)
+    p0 = pc.list_element(parts, 0)
+    p1 = pc.list_element(parts, 1)
+    t0 = pc.replace_substring(p0, "=", "\x00")
+    t1 = pc.replace_substring(p1, "=", "\x00")
+    ordered = pc.less_equal(t0, t1)
+    fwd = pc.binary_join_element_wise(p0, p1, "&")
+    rev = pc.binary_join_element_wise(p1, p0, "&")
+    return pc.if_else(ordered, fwd, rev).to_numpy(zero_copy_only=False)
+
+
+def canonicalize_batch(url: pd.Series, *, plain_qs_re, sort_query,
+                       fast_sort_parts, pct_decode, remove_dots,
+                       dotseg_re, decomp_re, canon_one) -> pd.Series:
+    """One Arrow batch of URLs → canonical forms (None = dropped).
+
+    Same three tiers as the docstring of ``urls.canonicalize_url``; the
+    helpers are passed in from ``urls`` so a single source of truth
+    defines the per-row semantics."""
+    s = pa.array(url, from_pandas=True)
+    n = len(s)
+    simple = pc.fill_null(
+        pc.and_(
+            pc.match_substring_regex(s, _SIMPLE_CORE),
+            pc.invert(pc.match_substring_regex(s, _DOTSEG)),
+        ),
+        False,
+    ).to_numpy(zero_copy_only=False)
+
+    parts = pc.extract_regex(s, decomp_re)
+    scheme = pc.utf8_lower(parts.field("scheme"))
+    decomposable = pc.fill_null(
+        pc.and_(pc.is_in(scheme, value_set=_HTTPS),
+                pc.is_valid(parts.field("host"))),
+        False,
+    ).to_numpy(zero_copy_only=False)
+    # (tightened below: insane ports are routed to tier 3)
+
+    host = pc.utf8_lower(parts.field("host"))
+    # RE2 reports unmatched OPTIONAL groups as empty strings (pandas
+    # str.extract gives NaN) — normalize: '' port means no port, '' path
+    # means no path ('/'); query keeps '' distinct from null but both
+    # count as has_q=False below
+    port = parts.field("port")
+    port = pc.if_else(pc.equal(port, ""), pa.scalar(None, pa.string()), port)
+    # numeric port comparison (':080' is the default port too); kept
+    # ports re-emit in canonical integer form. Ports that cannot be a
+    # TCP port (> 65535, incl. absurd digit runs that would overflow the
+    # int64 cast) drop to tier 3, where the reference urlsplit path
+    # nulls them — the pandas predecessor emitted float-mangled ports
+    # for those; this is the strictly-correct behavior (pinned in
+    # tests/test_canonicalize_fuzz.py).
+    port_sane = pc.fill_null(pc.less_equal(pc.utf8_length(port), 9), True)
+    pnum = pc.cast(pc.if_else(port_sane, port, pa.scalar(None, pa.string())),
+                   pa.int64())
+    port_valid = pc.fill_null(pc.less_equal(pnum, 65535), True)
+    decomposable = (
+        decomposable
+        & port_sane.to_numpy(zero_copy_only=False)
+        & port_valid.to_numpy(zero_copy_only=False)
+    )
+    is_http = pc.equal(scheme, "http")
+    is_https = pc.equal(scheme, "https")
+    default_port = pc.fill_null(
+        pc.or_(pc.and_(is_http, pc.equal(pnum, 80)),
+               pc.and_(is_https, pc.equal(pnum, 443))),
+        False,
+    )
+    with_port = pc.binary_join_element_wise(
+        host, pc.cast(pnum, pa.string()), ":"
+    )
+    netloc = pc.if_else(
+        pc.or_(pc.is_null(pnum), default_port), host, with_port
+    )
+
+    path = parts.field("path")
+    path = pc.if_else(pc.equal(path, ""), pa.scalar("/", pa.string()), path)
+    path = pc.coalesce(path, pa.scalar("/", pa.string()))
+    path = pc.replace_substring_regex(path, "/{2,}", "/")
+    # RFC 3986 finish — only the minority with escapes / dot segments
+    # pays per-row python; decode first (a decoded %2E can surface a new
+    # dot segment)
+    path_np = path.to_numpy(zero_copy_only=False)
+    pct_mask = pc.fill_null(
+        pc.match_substring(path, "%"), False
+    ).to_numpy(zero_copy_only=False)
+    if pct_mask.any():
+        for i in np.flatnonzero(pct_mask):
+            path_np[i] = pct_decode(path_np[i])
+    # dot-segment test must see the decoded path
+    if pct_mask.any():
+        path = pa.array(path_np)
+    dots_mask = pc.fill_null(
+        pc.match_substring_regex(path, _DOTSEG), False
+    ).to_numpy(zero_copy_only=False)
+    if dots_mask.any():
+        for i in np.flatnonzero(dots_mask):
+            path_np[i] = remove_dots(path_np[i])
+        path = pa.array(path_np)
+
+    # query sort, tiered: 1 plain param passes through; 2 plain params
+    # sort fully vectorized; 3+ plain per-row tuple sort; escaped/odd
+    # round-trip through parse_qsl
+    q = parts.field("query")
+    q_np = q.to_numpy(zero_copy_only=False)
+    has_q = pc.fill_null(
+        pc.and_(pc.is_valid(q), pc.not_equal(q, "")), False
+    ).to_numpy(zero_copy_only=False)
+    plain = pc.fill_null(
+        pc.match_substring_regex(q, plain_qs_re), False
+    ).to_numpy(zero_copy_only=False)
+    amp = pc.fill_null(
+        pc.count_substring(q, "&"), -1
+    ).to_numpy(zero_copy_only=False)
+    sorted_np = q_np.copy()
+    two = has_q & plain & (amp == 1)
+    if two.any():
+        idx2 = np.flatnonzero(two)
+        sorted_np[idx2] = _sort_two_params(q_np[idx2])
+    many = has_q & plain & (amp >= 2)
+    for i in np.flatnonzero(many):
+        sorted_np[i] = fast_sort_parts(q_np[i].split("&"))
+    odd = has_q & ~plain
+    for i in np.flatnonzero(odd):
+        sorted_np[i] = sort_query(q_np[i])
+
+    base = pc.binary_join_element_wise(scheme, "://", netloc, path, "")
+    with_q = pc.binary_join_element_wise(
+        base, pa.array(sorted_np, from_pandas=True), "?"
+    )
+    rebuilt = pc.if_else(pa.array(has_q), with_q, base).to_numpy(
+        zero_copy_only=False
+    )
+
+    out = url.to_numpy(copy=True).astype(object)
+    # tier 2 overwrite
+    t2 = ~simple & decomposable
+    out[t2] = rebuilt[t2]
+    # tier 3: per-row reference implementation (also nulls NaN inputs —
+    # tier-1/2 rows are strings by construction)
+    for i in np.flatnonzero(~simple & ~decomposable):
+        u = out[i]
+        out[i] = canon_one(u) if isinstance(u, str) else None
+    return pd.Series(out, index=url.index, dtype=object)

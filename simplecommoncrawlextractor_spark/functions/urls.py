@@ -170,12 +170,42 @@ def _fast_sort_parts(parts: list[str]) -> str:
 
 
 def _sort_query_series(q: pd.Series) -> pd.Series:
-    """Query sort with a cheap path for the dominant plain k=v&k2=v2 shape;
-    only escaped/odd queries pay the full parse_qsl/urlencode round-trip."""
+    """Query sort with tiered cheap paths for the dominant shapes; only
+    escaped/odd queries pay the full parse_qsl/urlencode round-trip.
+
+    Tiers: plain single-param queries pass through untouched; plain
+    TWO-param queries (the modal case in crawl data) sort with fully
+    vectorized pandas string ops — a (key, value)-tuple comparison via
+    str.partition, no per-row Python; plain 3+-param queries take the
+    per-row tuple sort; everything else (escapes, '+', valueless keys)
+    round-trips through parse_qsl."""
     plain = q.str.match(_PLAIN_QS_RE, na=False)
-    fast = q[plain].str.split("&").map(_fast_sort_parts)
-    slow = q[~plain].map(lambda s: _sort_query(s) if isinstance(s, str) else s)
-    return pd.concat([fast, slow]).reindex(q.index)
+    amp = q.str.count("&").where(plain, -1)
+    out = pd.Series(index=q.index, dtype=object)
+    # 0 '&' → one k=v pair: already sorted
+    one = amp == 0
+    out[one] = q[one]
+    # 1 '&' → exactly two pairs: vectorized (key, value) tuple compare.
+    # parse_qsl-order equivalence: sorted() on the 2-list keeps order iff
+    # (k0, v0) <= (k1, v1) lexicographically — partition('=') splits each
+    # part into its tuple (every '=' here is a separator: the plain regex
+    # admits no '=' inside keys or values)
+    two = amp == 1
+    if two.any():
+        p = q[two].str.partition("&")
+        a, b = p[0], p[2]
+        ka, va = (x := a.str.partition("=")) [0], x[2]
+        kb, vb = (y := b.str.partition("=")) [0], y[2]
+        ordered = (ka < kb) | ((ka == kb) & (va <= vb))
+        out[two] = (a + "&" + b).where(ordered, b + "&" + a)
+    # 2+ '&' plain → per-row tuple sort (no decode round-trip)
+    many = plain & (amp >= 2)
+    out[many] = q[many].str.split("&").map(_fast_sort_parts)
+    rest = ~plain
+    out[rest] = q[rest].map(
+        lambda s: _sort_query(s) if isinstance(s, str) else s
+    )
+    return out
 
 
 @F.pandas_udf(StringType())
@@ -188,60 +218,28 @@ def canonicalize_url(url: pd.Series) -> pd.Series:
 
     Three tiers, fastest first:
     1. already-canonical rows: one regex match, returned untouched;
-    2. regex-decomposable rows: ALL transforms are pandas str ops over the
-       Arrow batch — per-row Python only for the minority with a query
-       string (param sorting has no vectorized form);
-    3. leftovers (userinfo, IPv6 brackets, exotic syntax): urlsplit row-wise.
+    2. regex-decomposable rows: ALL transforms run as pyarrow.compute
+       kernels (RE2 + C++ string ops, ~10-30× the pandas object-dtype
+       path — see _urls_arrow's module docstring) — per-row Python only
+       for the minority with escapes, dot segments, or 3+/odd query
+       params;
+    3. leftovers (userinfo, IPv6 brackets, out-of-range ports, exotic
+       syntax): urlsplit row-wise (``_canon_one``, the reference
+       implementation the fuzz tests pin both tiers against).
     """
-    s = url.astype("string")
-    # tier 1 must reject dot segments (the path char class admits '.', so
-    # '/a/../b' would otherwise pass through unresolved); '%' is excluded
-    # by the char class itself
-    simple = s.str.match(
-        r"^(?!.*/\.{1,2}(?:/|$))https?://[a-z0-9\-]+(\.[a-z0-9\-]+)+/(?:[a-z0-9._~\-]+/)*[a-z0-9._~\-]*$",
-        na=False,
+    from ._urls_arrow import canonicalize_batch
+
+    return canonicalize_batch(
+        url,
+        plain_qs_re=_PLAIN_QS_RE,
+        sort_query=_sort_query,
+        fast_sort_parts=_fast_sort_parts,
+        pct_decode=_pct_decode_unreserved,
+        remove_dots=_remove_dot_segments,
+        dotseg_re=_DOTSEG_RE,
+        decomp_re=_DECOMP_RE,
+        canon_one=_canon_one,
     )
-    rest = s[~simple]
-    parts = rest.str.extract(_DECOMP_RE)
-    scheme = parts["scheme"].str.lower()
-    decomposable = scheme.isin(["http", "https"]) & parts["host"].notna()
-
-    host = parts["host"].str.lower()
-    port = parts["port"]
-    # compare ports NUMERICALLY (':080' is the default port too) and emit
-    # kept ports in canonical integer form — string comparison here would
-    # disagree with tier-3's parsed-int semantics and split one resource
-    # into two frontier entries
-    pnum = pd.to_numeric(port, errors="coerce")
-    default_port = ((scheme == "http") & (pnum == 80)) | (
-        (scheme == "https") & (pnum == 443)
-    )
-    port_canon = pnum.map(lambda v: "" if pd.isna(v) else str(int(v)))
-    netloc = host.where(port.isna() | default_port, host + ":" + port_canon)
-    path = parts["path"].fillna("/").str.replace(r"/{2,}", "/", regex=True)
-    # RFC 3986 finish — only the minority of rows with escapes/dot
-    # segments pay the per-row python; decode runs first (a decoded %2E
-    # can surface a new dot segment)
-    pct = path.str.contains("%", regex=False, na=False)
-    if pct.any():
-        path = path.where(~pct, path[pct].map(_pct_decode_unreserved))
-    dots = path.str.contains(_DOTSEG_RE, na=False)
-    if dots.any():
-        path = path.where(~dots, path[dots].map(_remove_dot_segments))
-    q = parts["query"]
-    has_q = q.notna() & (q != "")
-    sorted_q = _sort_query_series(q[has_q]) if has_q.any() else q[has_q]
-    rebuilt = scheme + "://" + netloc + path
-    rebuilt = rebuilt.where(~has_q, rebuilt + "?" + sorted_q)
-    rebuilt = rebuilt.where(decomposable, None)
-
-    # tier 3: whatever the decomposition regex rejected
-    hard = rest[~decomposable]
-    fixed = hard.map(lambda u: _canon_one(u) if isinstance(u, str) else None)
-
-    out = s.copy()
-    out[~simple] = rebuilt.where(decomposable, fixed)
-    return out.astype(object).where(out.notna(), None)
 
 
 def compile_filter_chain(patterns: list[str]) -> Column:

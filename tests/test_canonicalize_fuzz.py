@@ -41,6 +41,13 @@ def _gen_cases(n=400, seed=7):
         "ftp://e.com/x",              # non-http -> None
         "http://user:pw@e.com/x",     # userinfo -> tier-3
         "not a url",
+        # out-of-range / absurd ports: urlsplit raises -> None in BOTH
+        # tiers (the arrow rewrite routes them to tier 3 explicitly)
+        "http://e.com:99999/x",
+        "http://e.com:99999999999999999999/x",
+        "http://e.com",               # no path at all
+        "https://e.com?a=1",          # query with no path
+        "https://e.com#f",            # fragment with no path
     ]
     return out
 
