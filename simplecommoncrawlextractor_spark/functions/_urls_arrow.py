@@ -20,12 +20,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 # RE2 has no lookaround: tier 1's "no dot segments" guard runs as a
-# second (cheap) substring-regex test instead of a negative lookahead.
+# second (cheap) substring-regex test instead of a negative lookahead
+# (the dot-segment pattern itself comes in from urls._DOTSEG_RE — one
+# source of truth).
 _SIMPLE_CORE = (
     r"^https?://[a-z0-9\-]+(?:\.[a-z0-9\-]+)+/"
     r"(?:[a-z0-9._~\-]+/)*[a-z0-9._~\-]*$"
 )
-_DOTSEG = r"/\.{1,2}(/|$)"
 _HTTPS = pa.array(["http", "https"])
 
 
@@ -55,12 +56,15 @@ def canonicalize_batch(url: pd.Series, *, plain_qs_re, sort_query,
     Same three tiers as the docstring of ``urls.canonicalize_url``; the
     helpers are passed in from ``urls`` so a single source of truth
     defines the per-row semantics."""
-    s = pa.array(url, from_pandas=True)
+    # force string type: an all-null batch otherwise infers Arrow's null
+    # type, for which the regex kernels have no implementation
+    s = pa.array(url, from_pandas=True, type=pa.string())
     n = len(s)
+    dotseg_pat = dotseg_re.pattern
     simple = pc.fill_null(
         pc.and_(
             pc.match_substring_regex(s, _SIMPLE_CORE),
-            pc.invert(pc.match_substring_regex(s, _DOTSEG)),
+            pc.invert(pc.match_substring_regex(s, dotseg_pat)),
         ),
         False,
     ).to_numpy(zero_copy_only=False)
@@ -129,7 +133,7 @@ def canonicalize_batch(url: pd.Series, *, plain_qs_re, sort_query,
     if pct_mask.any():
         path = pa.array(path_np)
     dots_mask = pc.fill_null(
-        pc.match_substring_regex(path, _DOTSEG), False
+        pc.match_substring_regex(path, dotseg_pat), False
     ).to_numpy(zero_copy_only=False)
     if dots_mask.any():
         for i in np.flatnonzero(dots_mask):
@@ -161,10 +165,17 @@ def canonicalize_batch(url: pd.Series, *, plain_qs_re, sort_query,
     odd = has_q & ~plain
     for i in np.flatnonzero(odd):
         sorted_np[i] = sort_query(q_np[i])
+    # a separator-only query ('&', '&&') SORTS to '' — urlunsplit (and
+    # _canon_one) drop the empty query entirely, so has_q must follow the
+    # SORTED value or tier 2 would emit a dangling '?' and break
+    # idempotence (one resource, two frontier entries)
+    has_q = has_q & np.array(
+        [isinstance(v, str) and v != "" for v in sorted_np], dtype=bool
+    )
 
     base = pc.binary_join_element_wise(scheme, "://", netloc, path, "")
     with_q = pc.binary_join_element_wise(
-        base, pa.array(sorted_np, from_pandas=True), "?"
+        base, pa.array(sorted_np, from_pandas=True, type=pa.string()), "?"
     )
     rebuilt = pc.if_else(pa.array(has_q), with_q, base).to_numpy(
         zero_copy_only=False

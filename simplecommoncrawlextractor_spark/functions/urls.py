@@ -169,45 +169,6 @@ def _fast_sort_parts(parts: list[str]) -> str:
     return "&".join("=".join(kv) for kv in sorted(p.split("=", 1) for p in parts))
 
 
-def _sort_query_series(q: pd.Series) -> pd.Series:
-    """Query sort with tiered cheap paths for the dominant shapes; only
-    escaped/odd queries pay the full parse_qsl/urlencode round-trip.
-
-    Tiers: plain single-param queries pass through untouched; plain
-    TWO-param queries (the modal case in crawl data) sort with fully
-    vectorized pandas string ops — a (key, value)-tuple comparison via
-    str.partition, no per-row Python; plain 3+-param queries take the
-    per-row tuple sort; everything else (escapes, '+', valueless keys)
-    round-trips through parse_qsl."""
-    plain = q.str.match(_PLAIN_QS_RE, na=False)
-    amp = q.str.count("&").where(plain, -1)
-    out = pd.Series(index=q.index, dtype=object)
-    # 0 '&' → one k=v pair: already sorted
-    one = amp == 0
-    out[one] = q[one]
-    # 1 '&' → exactly two pairs: vectorized (key, value) tuple compare.
-    # parse_qsl-order equivalence: sorted() on the 2-list keeps order iff
-    # (k0, v0) <= (k1, v1) lexicographically — partition('=') splits each
-    # part into its tuple (every '=' here is a separator: the plain regex
-    # admits no '=' inside keys or values)
-    two = amp == 1
-    if two.any():
-        p = q[two].str.partition("&")
-        a, b = p[0], p[2]
-        ka, va = (x := a.str.partition("=")) [0], x[2]
-        kb, vb = (y := b.str.partition("=")) [0], y[2]
-        ordered = (ka < kb) | ((ka == kb) & (va <= vb))
-        out[two] = (a + "&" + b).where(ordered, b + "&" + a)
-    # 2+ '&' plain → per-row tuple sort (no decode round-trip)
-    many = plain & (amp >= 2)
-    out[many] = q[many].str.split("&").map(_fast_sort_parts)
-    rest = ~plain
-    out[rest] = q[rest].map(
-        lambda s: _sort_query(s) if isinstance(s, str) else s
-    )
-    return out
-
-
 @F.pandas_udf(StringType())
 def canonicalize_url(url: pd.Series) -> pd.Series:
     """Vectorized canonicalizer: lowercase scheme/host, strip default ports,

@@ -327,8 +327,10 @@ def remove_duplicate_substrings(
     cut = covered.groupBy(id_col, "ti").agg(
         (~F.max("is_winner")).alias("__cut")
     ).filter(F.col("__cut"))
-    # reassemble: original token stream minus the cut indexes
-    stream = base.select(
+    # reassemble ONLY documents that actually lose tokens — everyone
+    # else keeps their original text untouched (whitespace included)
+    touched = cut.select(id_col).distinct()
+    stream = base.join(touched, id_col, "left_semi").select(
         id_col, F.posexplode("__toks").alias("ti", "tok")
     )
     kept = stream.join(cut, [id_col, "ti"], "left_anti")
@@ -339,10 +341,16 @@ def remove_duplicate_substrings(
                 F.array_sort(F.collect_list(F.struct("ti", "tok"))),
                 lambda s: s["tok"],
             ),
-        ).alias(text_col)
+        ).alias("__rebuilt")
     )
     return (
-        docs.select(id_col)
+        docs.select(id_col, F.col(text_col).alias("__orig"))
+        .join(touched.withColumn("__touched", F.lit(True)), id_col, "left")
         .join(rebuilt, id_col, "left")
-        .select(id_col, F.coalesce(text_col, F.lit("")).alias(text_col))
+        .select(
+            id_col,
+            F.when(
+                F.col("__touched").isNull(), F.col("__orig")
+            ).otherwise(F.coalesce("__rebuilt", F.lit(""))).alias(text_col),
+        )
     )

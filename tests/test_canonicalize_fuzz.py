@@ -48,6 +48,11 @@ def _gen_cases(n=400, seed=7):
         "http://e.com",               # no path at all
         "https://e.com?a=1",          # query with no path
         "https://e.com#f",            # fragment with no path
+        # separator-only queries sort to '': the rebuilt URL must drop
+        # the '?' exactly like urlunsplit does (idempotence)
+        "http://e.com/x?&",
+        "http://e.com/x?&&",
+        "http://e.com/x?a=1&",
     ]
     return out
 
@@ -102,3 +107,17 @@ def test_vectorized_idempotent_on_fuzz_corpus(spark):
     df2 = spark.createDataFrame([(u,) for u in kept], "v string")
     twice = [r[0] for r in df2.select(canonicalize_url("v")).collect()]
     assert twice == kept
+
+
+def test_degenerate_batches_all_null_and_empty():
+    """Arrow type inference on degenerate batches: an all-null or empty
+    batch must come back as-is, not crash the kernel with a null-typed
+    array (regression: ArrowNotImplementedError in the regex kernels)."""
+    import pandas as pd
+
+    fn = canonicalize_url.func
+    assert list(fn(pd.Series([None, None], dtype=object))) == [None, None]
+    assert list(fn(pd.Series([], dtype=object))) == []
+    assert list(fn(pd.Series([None, "http://e.com/x", None], dtype=object))) == [
+        None, "http://e.com/x", None,
+    ]

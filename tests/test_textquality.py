@@ -244,7 +244,7 @@ def test_remove_duplicate_substrings_keeps_first_occurrence(spark):
     shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
     rows = [
         (0, f"{shared} tail-a tail-b"),
-        (1, "completely unrelated words here that repeat nothing at all ok"),
+        (1, "completely unrelated\twords here\n\nthat repeat nothing at all"),
         (2, f"lead-x lead-y {shared}"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
@@ -253,7 +253,8 @@ def test_remove_duplicate_substrings_keeps_first_occurrence(spark):
         for r in remove_duplicate_substrings(docs, n=8).collect()
     }
     assert got[0] == f"{shared} tail-a tail-b"      # winner untouched
-    assert got[1] == rows[1][1]                     # clean doc untouched
+    # clean doc: ORIGINAL bytes preserved, tabs/newlines included
+    assert got[1] == rows[1][1]
     assert got[2] == "lead-x lead-y"                # loser loses the run
 
 
@@ -300,10 +301,14 @@ kept AS (
   SELECT s.doc_id, s.ti, s.tok FROM stream s
   LEFT JOIN cut c ON s.doc_id = c.doc_id AND s.ti = c.ti
   WHERE c.doc_id IS NULL
-)
+),
+touched AS (SELECT DISTINCT doc_id FROM cut)
 SELECT t.doc_id,
-       coalesce((SELECT string_agg(tok, ' ' ORDER BY ti)
-                 FROM kept k WHERE k.doc_id = t.doc_id), '') AS text
+       CASE WHEN t.doc_id IN (SELECT doc_id FROM touched)
+            THEN coalesce((SELECT string_agg(tok, ' ' ORDER BY ti)
+                           FROM kept k WHERE k.doc_id = t.doc_id), '')
+            ELSE (SELECT text FROM read_parquet('{path}') o
+                  WHERE o.doc_id = t.doc_id) END AS text
 FROM t
 """).fetchall()
     )
