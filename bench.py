@@ -137,6 +137,16 @@ def run_bench() -> dict:
         all_runs[name] = runs
         total += best
         print(f"# {name}: best {best:.3f}s of {runs} ({n} rows)", file=sys.stderr)
+    # the north-rule metric, IN the per-round artifact: one compact
+    # frontier-dedup kernel measurement (canonicalize → bloom probe →
+    # exact confirm → politeness top-k) at this session's parallelism.
+    # Small n + best-of-2 keeps it ~15 s; the full two-cluster-size
+    # methodology lives in tools/scaling_kernel.py + BASELINE.md.
+    kernel = run_dedup_throughput(
+        n_urls=int(os.environ.get("SPARK_GRAFT_KERNEL_URLS", "2000000")),
+        trials=2,
+        reuse_session=True,
+    )
     load_after = round(os.getloadavg()[0], 2)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     return {
@@ -150,6 +160,8 @@ def run_bench() -> dict:
         "runs": all_runs,
         "load1_before": load_before,
         "load1_after": load_after,
+        "kernel_urls_per_sec": kernel["urls_per_sec"],
+        "kernel_n_urls": kernel["n_urls"],
     }
 
 
@@ -200,7 +212,9 @@ def run_scheduler_throughput(n_seeds: int, rounds: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def run_dedup_throughput(n_urls: int, trials: int = 3) -> dict:
+def run_dedup_throughput(
+    n_urls: int, trials: int = 3, reuse_session: bool = False
+) -> dict:
     """The scaling-evidence kernel (north rule: same job at N and 4N
     parallelism): raw URLs → RFC 3986 canonicalize (Arrow UDF) → xxhash64 →
     bloom probe vs an n_urls-hash URL-seen set → exact-confirm anti-join →
@@ -217,11 +231,16 @@ def run_dedup_throughput(n_urls: int, trials: int = 3) -> dict:
     )
     from simplecommoncrawlextractor_spark.plans.state import BloomSeenSet
 
-    spark = get_spark(
-        app_name="ccspark-dedup-scaling",
-        master=f"local[{CPUS}]",
-        shuffle_partitions=int(CPUS) * 2,
-    )
+    if reuse_session:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.getOrCreate()
+    else:
+        spark = get_spark(
+            app_name="ccspark-dedup-scaling",
+            master=f"local[{CPUS}]",
+            shuffle_partitions=int(CPUS) * 2,
+        )
     seen_set = BloomSeenSet(n_buckets=256)
     k = F.col("id")
     host = F.when(k % 10 < 3, F.lit("HOT.Example.COM")).otherwise(
