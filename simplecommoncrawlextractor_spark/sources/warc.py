@@ -1,0 +1,172 @@
+"""S3 for real: a WARC (ISO 28500) reader over Spark's binaryFile source.
+
+The reference consumes WARC files via jwarc record iteration
+(cc/warc/Extractor.java:96-139: WarcReader → response records → HTTP
+payload bytes). This module reads the same format with the stdlib only:
+``binaryFile`` scan → one mapInPandas pass that inflates (multi-member
+gzip, the Common Crawl convention, or plain) and walks records by their
+Content-Length framing.
+
+Split model: a WARC file is splittable only at gzip-member boundaries,
+which a generic scan can't see — so the task unit is the FILE (Common
+Crawl shards are ~1 GB, a sane task size; the same decision jwarc's
+stream reader forces on the reference). ``spread()`` upstream gives one
+task per file; record parsing is sequential within a file, parallel
+across files.
+
+``warc_response_records`` adapts response records to the exact input
+contract of ``operators.extraction.extract`` — read_warc →
+warc_response_records → extract → write_repository IS the reference's
+end-to-end pipeline (fetch excluded) on real WARC bytes.
+"""
+
+from __future__ import annotations
+
+import io
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_SCHEMA = (
+    "warc_file string, record_idx int, warc_type string, target_uri string, "
+    "warc_date string, record_id string, content_type string, "
+    "content_length long, http_status int, http_content_type string, "
+    "truncated string, payload binary"
+)
+
+
+def _inflate(buf: bytes) -> bytes:
+    """Whole-file inflate: multi-member gzip (each WARC record its own
+    member, the CC convention), single-member gzip, or already-plain."""
+    if buf[:2] != b"\x1f\x8b":
+        return buf
+    out = []
+    data = buf
+    while data[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(31)
+        out.append(d.decompress(data))
+        out.append(d.flush())
+        data = d.unused_data
+    return b"".join(out)
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in block.split(b"\r\n"):
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            headers[k.strip().decode("latin-1").lower()] = (
+                v.strip().decode("latin-1")
+            )
+    return headers
+
+
+def parse_warc_bytes(raw: bytes) -> Iterator[dict]:
+    """Iterate records of one (inflated) WARC byte stream: version line,
+    CRLF headers, Content-Length payload bytes, CRLF CRLF trailer.
+    Tolerant of trailing garbage (stops at the first non-record bytes,
+    like the reference's stream reader)."""
+    pos, n, idx = 0, len(raw), 0
+    while pos < n:
+        # skip inter-record blank lines
+        while raw[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if not raw[pos : pos + 5] == b"WARC/":
+            break
+        hdr_end = raw.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break
+        headers = _parse_headers(raw[pos : hdr_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        body = raw[hdr_end + 4 : hdr_end + 4 + length]
+        if len(body) < length:
+            break  # truncated file tail
+        yield {
+            "record_idx": idx,
+            "warc_type": headers.get("warc-type", ""),
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "record_id": headers.get("warc-record-id"),
+            "content_type": headers.get("content-type"),
+            "content_length": length,
+            "truncated": headers.get("warc-truncated"),
+            "body": body,
+        }
+        idx += 1
+        pos = hdr_end + 4 + length
+
+
+def _split_http(body: bytes) -> tuple[int | None, str | None, bytes]:
+    """An application/http body → (status, content-type, payload bytes)."""
+    sep = body.find(b"\r\n\r\n")
+    if sep < 0 or not body[:5] in (b"HTTP/",):
+        return None, None, body
+    head = body[:sep]
+    status = None
+    first = head.split(b"\r\n", 1)[0].split()
+    if len(first) >= 2 and first[1].isdigit():
+        status = int(first[1])
+    ct = _parse_headers(head).get("content-type")
+    return status, ct, body[sep + 4 :]
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC files → one row per record, with HTTP payloads unwrapped for
+    response records. Task unit = file (see module docstring)."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                raw = _inflate(bytes(content))
+                for rec in parse_warc_bytes(raw):
+                    is_http = (rec["content_type"] or "").startswith(
+                        "application/http"
+                    )
+                    if is_http:
+                        status, http_ct, payload = _split_http(rec["body"])
+                    else:
+                        status, http_ct, payload = None, None, rec["body"]
+                    rows.append(
+                        (
+                            path_, rec["record_idx"], rec["warc_type"],
+                            rec["target_uri"], rec["warc_date"],
+                            rec["record_id"], rec["content_type"],
+                            rec["content_length"], status, http_ct,
+                            rec["truncated"], payload,
+                        )
+                    )
+                # one output frame per input FILE keeps peak memory at
+                # O(one inflated file), the bound that matters at 100 TB
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "warc_file", "record_idx", "warc_type", "target_uri",
+                        "warc_date", "record_id", "content_type",
+                        "content_length", "http_status", "http_content_type",
+                        "truncated", "payload",
+                    ],
+                )
+                rows = []
+
+    return files.mapInPandas(gen, WARC_SCHEMA)
+
+
+def warc_response_records(records: DataFrame) -> DataFrame:
+    """Response records → the exact ``extract()`` input contract
+    (url, header_mime, payload, truncated, length) — the reference's
+    record-type filter F3 (Extractor.java:99-104) plus column mapping."""
+    return records.filter(F.col("warc_type") == "response").select(
+        F.col("target_uri").alias("url"),
+        F.col("http_content_type").alias("header_mime"),
+        F.col("payload"),
+        F.col("truncated"),
+        F.length("payload").cast("long").alias("length"),
+    )
