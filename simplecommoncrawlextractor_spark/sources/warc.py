@@ -170,3 +170,80 @@ def warc_response_records(records: DataFrame) -> DataFrame:
         F.col("truncated"),
         F.length("payload").cast("long").alias("length"),
     )
+
+
+def _warc_record_bytes(
+    uri: str, payload: bytes, http_content_type: str | None,
+    warc_date: str, record_id: str, truncated: str | None = None,
+) -> bytes:
+    """Serialize one response record (HTTP-wrapped payload, one gzip
+    member — the CC layout read_warc round-trips)."""
+    ct = http_content_type or "application/octet-stream"
+    http = (
+        f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode("latin-1") + payload
+    head = [
+        b"WARC/1.0",
+        b"WARC-Type: response",
+        b"WARC-Record-ID: <" + record_id.encode("latin-1") + b">",
+        b"WARC-Date: " + warc_date.encode("latin-1"),
+        b"WARC-Target-URI: " + uri.encode("latin-1"),
+        b"Content-Type: application/http;msgtype=response",
+    ]
+    if truncated:
+        head.append(b"WARC-Truncated: " + truncated.encode("latin-1"))
+    head.append(b"Content-Length: " + str(len(http)).encode())
+    return b"\r\n".join(head) + b"\r\n\r\n" + http + b"\r\n\r\n"
+
+
+def write_warc(
+    fetched: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    payload_col: str = "payload",
+    mime_col: str = "header_mime",
+    warc_date: str = "2026-01-01T00:00:00Z",
+) -> int:
+    """The crawl's archive sink: (url, payload, mime) rows → per-partition
+    ``part-NNNNN.warc.gz`` files (one gzip member per record, the CC
+    layout), written with write-then-rename so a killed task never leaves
+    a half-file behind. Record ids derive from the url (deterministic —
+    any rerun emits byte-identical archives given the same partitioning);
+    returns the number of records written. ``read_warc`` round-trips the
+    output bit-for-bit, so crawl → archive → re-extract is closed."""
+    import gzip as _gzip
+    import hashlib
+    import os as _os
+
+    _os.makedirs(out_dir, exist_ok=True)
+    cols = [url_col, payload_col, mime_col]
+
+    def write_partition(pid: int, rows) -> Iterator[int]:
+        n = 0
+        tmp = _os.path.join(out_dir, f".part-{pid:05d}.warc.gz.tmp")
+        final = _os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        with open(tmp, "wb") as f:
+            for r in rows:
+                uri, payload, mime = r[url_col], bytes(r[payload_col]), r[mime_col]
+                rid = "urn:ccspark:" + hashlib.sha1(uri.encode()).hexdigest()
+                f.write(
+                    _gzip.compress(
+                        _warc_record_bytes(uri, payload, mime, warc_date, rid),
+                        mtime=0,  # no wall-clock in the bytes: rerun-identical
+                    )
+                )
+                n += 1
+        if n:
+            _os.replace(tmp, final)
+        else:
+            _os.remove(tmp)
+        yield n
+
+    counts = (
+        fetched.select(*cols)
+        .sortWithinPartitions(url_col)  # shuffle order is not a contract
+        .rdd.mapPartitionsWithIndex(write_partition)
+        .collect()
+    )
+    return int(sum(counts))
