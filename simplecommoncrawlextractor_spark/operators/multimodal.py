@@ -541,9 +541,47 @@ def _decode_jpeg_parse(payload: bytes) -> tuple[int, int, np.ndarray] | None:
         return None
 
 
+def _header_dims(payload: bytes) -> tuple[int, int] | None:
+    """TRUE dimensions for formats whose pixels stay stubbed: WEBP
+    (VP8 lossy / VP8L lossless / VP8X extended) and progressive JPEG
+    (any SOFn frame header). The reference only ever sniffs these
+    payloads; real dims already exceed parity — pixels remain the
+    labeled deterministic stub."""
+    try:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            tag = payload[12:16]
+            if tag == b"VP8 " and payload[23:26] == b"\x9d\x01\x2a":
+                w, h = struct.unpack_from("<HH", payload, 26)
+                return (w & 0x3FFF), (h & 0x3FFF)
+            if tag == b"VP8L" and payload[20:21] == b"\x2f":
+                (bits,) = struct.unpack_from("<I", payload, 21)
+                return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+            if tag == b"VP8X":
+                wm = int.from_bytes(payload[24:27], "little") + 1
+                hm = int.from_bytes(payload[27:30], "little") + 1
+                return wm, hm
+        if payload[:2] == b"\xff\xd8":  # JPEG that _decode_jpeg declined
+            pos, n = 2, len(payload)
+            while pos + 4 <= n and payload[pos] == 0xFF:
+                marker = payload[pos + 1]
+                if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+                if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                              0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                    h, w = struct.unpack_from(">HH", payload, pos + 5)
+                    return (w, h) if w and h else None
+                pos += 2 + seglen
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
 def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Dispatch: real BMP/PPM/PNG/baseline-JPEG decode when the bytes are
-    one; deterministic stub otherwise (progressive JPEG, WEBP, garbage,
+    one; WEBP and progressive-JPEG get TRUE header dimensions with
+    stubbed pixel features; fully deterministic stub otherwise (garbage,
     truncation)."""
     out = _decode_bmp(payload)
     if out is None:
@@ -552,7 +590,13 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
         out = _decode_png(payload)
     if out is None:
         out = _decode_jpeg(payload)
-    return out if out is not None else _decode_image_stub(payload)
+    if out is not None:
+        return out
+    dims = _header_dims(payload)
+    if dims is not None:
+        _, _, feat = _decode_image_stub(payload)
+        return dims[0], dims[1], feat
+    return _decode_image_stub(payload)
 
 
 def image_features(media: DataFrame, ref_col: str = "media_ref", payload_col: str = "payload") -> DataFrame:

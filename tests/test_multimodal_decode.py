@@ -524,9 +524,63 @@ def test_jpeg_truncated_segments_fall_back_to_stub():
         b"\xff\xd8\xff\xc4\x00\x04\x00\x00",        # short DHT
         b"\xff\xd8\xff\xdd\x00\x02",                # empty DRI
         b"\xff\xd8\xff\xda\x00\x02",                # empty SOS
-        b"\xff\xd8\xff\xc0\x00\x0b\x08\x00\x10\x00\x10\x03\x01",  # short comps
     ):
         assert _decode_jpeg(junk) is None
         gw, gh, gf = decode_image(junk)
         sw, sh, sf = _decode_image_stub(junk)
         assert (gw, gh) == (sw, sh) and np.array_equal(gf, sf)
+    # a stream whose SOF header IS readable reports the declared dims
+    # (the header-dims tier) with stub features — strictly more truthful
+    # than the hash fake, still never a crash
+    short_comps = b"\xff\xd8\xff\xc0\x00\x0b\x08\x00\x10\x00\x10\x03\x01"
+    assert _decode_jpeg(short_comps) is None
+    gw, gh, gf = decode_image(short_comps)
+    assert (gw, gh) == (16, 16)
+    assert np.array_equal(gf, _decode_image_stub(short_comps)[2])
+
+
+def test_header_dims_webp_and_progressive_jpeg():
+    """WEBP (VP8/VP8L/VP8X) and progressive-JPEG payloads report TRUE
+    dimensions from their headers while pixel features stay stubbed."""
+    import struct as st
+
+    from simplecommoncrawlextractor_spark.operators.multimodal import (
+        _decode_image_stub,
+    )
+
+    # VP8 lossy: RIFF + 'VP8 ' chunk, frame tag, 9D 01 2A, 14-bit w/h
+    vp8_payload = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                   + st.pack("<HH", 320, 240) + b"\x00" * 8)
+    vp8 = (b"RIFF" + st.pack("<I", 4 + 8 + len(vp8_payload)) + b"WEBP"
+           + b"VP8 " + st.pack("<I", len(vp8_payload)) + vp8_payload)
+    w, h, feat = decode_image(vp8)
+    assert (w, h) == (320, 240)
+    assert np.array_equal(feat, _decode_image_stub(vp8)[2])
+
+    # VP8L lossless: signature 0x2f then 14+14 bit dims-1 little-endian
+    bits = (127 - 1) | ((63 - 1) << 14)
+    vp8l_payload = b"\x2f" + st.pack("<I", bits) + b"\x00" * 4
+    vp8l = (b"RIFF" + st.pack("<I", 4 + 8 + len(vp8l_payload)) + b"WEBP"
+            + b"VP8L" + st.pack("<I", len(vp8l_payload)) + vp8l_payload)
+    w, h, _ = decode_image(vp8l)
+    assert (w, h) == (127, 63)
+
+    # VP8X extended: 24-bit canvas dims minus one
+    vp8x_payload = (b"\x00" + b"\x00\x00\x00"
+                    + (799).to_bytes(3, "little") + (599).to_bytes(3, "little"))
+    vp8x = (b"RIFF" + st.pack("<I", 4 + 8 + len(vp8x_payload)) + b"WEBP"
+            + b"VP8X" + st.pack("<I", len(vp8x_payload)) + vp8x_payload)
+    w, h, _ = decode_image(vp8x)
+    assert (w, h) == (800, 600)
+
+    # progressive JPEG (SOF2): _decode_jpeg declines, header dims win
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + st.pack(">H", len(payload) + 2) + payload
+
+    prog = (b"\xff\xd8"
+            + seg(0xE0, b"JFIF\x00")
+            + seg(0xC2, st.pack(">BHHB", 8, 77, 55, 3) + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00")
+            + b"\xff\xd9")
+    w, h, feat = decode_image(prog)
+    assert (w, h) == (55, 77)
+    assert np.array_equal(feat, _decode_image_stub(prog)[2])
