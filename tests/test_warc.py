@@ -144,3 +144,55 @@ def test_write_warc_round_trips_through_read_warc(spark, tmp_path):
     assert f1 == f2
     for name in f1:
         assert (out1 / name).read_bytes() == (out2 / name).read_bytes()
+
+
+def test_write_warc_unicode_urls_truncated_header_and_rerun_cleanup(spark, tmp_path):
+    """Round 3 review regressions pinned: non-latin IRIs archive and
+    round-trip; truncated rows carry WARC-Truncated (so re-extract's F4
+    still drops them); a rerun with fewer partitions leaves no stale
+    part files."""
+    import pandas as pd
+
+    from simplecommoncrawlextractor_spark.sources.warc import write_warc
+
+    rows = pd.DataFrame(
+        {
+            "url": ["http://ex.com/日本語/ページ", "http://ex.com/ok"],
+            "payload": [b"unicode body", b"plain body"],
+            "header_mime": ["text/html", "text/html"],
+            "truncated": [None, "length"],
+        }
+    )
+    out = tmp_path / "arch"
+    n = write_warc(spark.createDataFrame(rows).repartition(6), str(out))
+    assert n == 2
+    back = {r["target_uri"]: r for r in read_warc(spark, str(out / "*.warc.gz")).collect()}
+    assert bytes(back["http://ex.com/日本語/ページ"]["payload"]) == b"unicode body"
+    assert back["http://ex.com/ok"]["truncated"] == "length"
+    # the re-extract loop drops the truncated row again (F4)
+    kept = warc_response_records(read_warc(spark, str(out / "*.warc.gz")))
+    got = extract(kept, ExtractorConfig(include_detected_mimes=".")).collect()
+    assert {r["url"] for r in got} == {"http://ex.com/日本語/ページ"}
+    n_files_1 = len(list(out.glob("part-*.warc.gz")))
+    # rerun with ONE partition: stale higher-numbered parts must vanish
+    write_warc(spark.createDataFrame(rows).coalesce(1), str(out))
+    files = sorted(p.name for p in out.glob("part-*.warc.gz"))
+    assert len(files) == 1 and n_files_1 >= 1
+    assert read_warc(spark, str(out / "*.warc.gz")).count() == 2
+
+
+def test_inflate_many_members_linear():
+    """8000 gzip members inflate in linear time (the decompressobj/
+    unused_data loop was quadratic — minutes for this input)."""
+    import gzip
+    import time
+
+    from simplecommoncrawlextractor_spark.sources.warc import _inflate
+
+    member = gzip.compress(b"x" * 4096)
+    blob = member * 8000
+    t0 = time.time()
+    out = _inflate(blob)
+    dt = time.time() - t0
+    assert len(out) == 4096 * 8000
+    assert dt < 5.0, f"multi-member inflate too slow: {dt:.1f}s"
