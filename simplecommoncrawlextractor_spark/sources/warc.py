@@ -91,6 +91,11 @@ def parse_warc_bytes(raw: bytes) -> Iterator[dict]:
             length = int(headers.get("content-length", ""))
         except ValueError:
             break
+        if length < 0:
+            # crafted negative Content-Length could rewind pos to (or
+            # before) the record start and loop forever — untrusted-input
+            # guard, same class as the image decoders' pixel budgets
+            break
         body = raw[hdr_end + 4 : hdr_end + 4 + length]
         if len(body) < length:
             break  # truncated file tail
@@ -231,6 +236,10 @@ def write_warc(
     # into the directory the reader globs
     _os.makedirs(out_dir, exist_ok=True)
     for old in _glob.glob(_os.path.join(out_dir, "part-*.warc.gz")):
+        _os.remove(old)
+    # sweep attempt-unique tmp leftovers from killed/speculative attempts
+    # (readers skip dotfiles, but they leak disk across reruns)
+    for old in _glob.glob(_os.path.join(out_dir, ".part-*.warc.gz.tmp")):
         _os.remove(old)
     has_trunc = truncated_col in fetched.columns
     cols = [url_col, payload_col, mime_col] + ([truncated_col] if has_trunc else [])

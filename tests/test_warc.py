@@ -196,3 +196,37 @@ def test_inflate_many_members_linear():
     dt = time.time() - t0
     assert len(out) == 4096 * 8000
     assert dt < 5.0, f"multi-member inflate too slow: {dt:.1f}s"
+
+
+def test_parse_warc_rejects_negative_content_length():
+    """A crafted record with Content-Length = -(header block + 4) rewinds
+    pos to the record start — without the guard the generator yields the
+    same record forever (r4 ADVICE finding). Must terminate and keep only
+    the records before the malformed one."""
+    good = _record("response", "http://ex.com/a", _http_response(b"ok"))
+    bad_hdr = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: http://ex.com/evil\r\n")
+    # length that rewinds pos exactly to the record start
+    evil_len = -(len(bad_hdr) + len(b"Content-Length: -000\r\n") + 4)
+    bad = bad_hdr + b"Content-Length: " + str(evil_len).encode() + b"\r\n\r\n"
+    parsed = list(parse_warc_bytes(good + bad + good))
+    assert len(parsed) == 1
+    assert parsed[0]["target_uri"] == "http://ex.com/a"
+
+
+def test_write_warc_sweeps_stale_attempt_tmp_files(spark, tmp_path):
+    """Killed/speculative attempts leave .part-*.warc.gz.tmp files; the
+    rerun cleanup must sweep them too (r4 ADVICE finding)."""
+    import pandas as pd
+
+    from simplecommoncrawlextractor_spark.sources.warc import write_warc
+
+    out = tmp_path / "arch"
+    out.mkdir()
+    stale = out / ".part-00007.12345.warc.gz.tmp"
+    stale.write_bytes(b"half-written attempt")
+    rows = pd.DataFrame({"url": ["http://ex.com/x"], "payload": [b"b"],
+                         "header_mime": ["text/html"]})
+    write_warc(spark.createDataFrame(rows).coalesce(1), str(out))
+    assert not stale.exists()
+    assert sorted(p.name for p in out.iterdir()) == ["part-00000.warc.gz"]
