@@ -33,7 +33,7 @@ from .frontier import (
     dedup_by_hash,
     politeness_schedule,
 )
-from .state import SEEN_SCHEMA, BLOOM_SCHEMA, BloomSeenSet, StateStore
+from .state import SEEN_SCHEMA, BloomSeenSet, CuckooSeenSet, StateStore
 
 METRICS_SCHEMA = (
     "snapshot int, round int, phase string, partition_id int, rows long, "
@@ -78,6 +78,7 @@ class CrawlScheduler:
         robots_rules: DataFrame | None = None,
         round_seconds: int = 60,
         auto_robots: bool = False,
+        seen_backend: str = "bloom",
     ):
         """``robots_rules`` (host, disallow_prefix, crawl_delay — see
         plans/robots.py) makes the scheduler obey disallow prefixes when
@@ -87,13 +88,37 @@ class CrawlScheduler:
         hosts newly present in the frontier get their /robots.txt fetched
         (through the same — here simulated — fetch machinery) and parsed,
         and the resulting rules append to the persistent ``robots`` state
-        table, so a resumed run keeps exactly the rules it had fetched."""
+        table, so a resumed run keeps exactly the rules it had fetched.
+
+        ``seen_backend`` picks the URL-seen blob structure: ``"bloom"``
+        (OR-bits; deletes rebuild the touched buckets' blobs from the
+        exact rows) or ``"cuckoo"`` (stored fingerprints; deletes clear in
+        place, no rebuild — the north rule's delete-capable backend).
+        Probe OUTPUT is identical under both (suspects are confirmed
+        against the exact rows either way), so crawl order is backend-
+        independent; the choice is pinned into the store's manifest at
+        bootstrap and a resume with the other backend raises (the blob
+        table's bytes are only meaningful to their writer)."""
         self.spark = spark
         self.store = store
         self.host_budget = host_budget
         self.salt_k = salt_k
         self.round_seconds = round_seconds
-        self.seen = BloomSeenSet(n_buckets)
+        backends = {"bloom": BloomSeenSet, "cuckoo": CuckooSeenSet}
+        if seen_backend not in backends:
+            raise ValueError(
+                f"seen_backend must be one of {sorted(backends)}, "
+                f"got {seen_backend!r}"
+            )
+        pinned = self.store.manifest()["meta"].get("seen_backend")
+        if pinned is not None and pinned != seen_backend:
+            raise ValueError(
+                f"state store at {store.root} was bootstrapped with "
+                f"seen_backend={pinned!r}; resuming with {seen_backend!r} "
+                "would misread its blob table"
+            )
+        self.seen_backend = seen_backend
+        self.seen = backends[seen_backend](n_buckets)
         self.robots_rules = robots_rules
         self.auto_robots = auto_robots
 
@@ -190,7 +215,10 @@ class CrawlScheduler:
         return self.store.read(self.spark, "url_seen", SEEN_SCHEMA)
 
     def blooms(self) -> DataFrame:
-        return self.store.read(self.spark, "blooms", BLOOM_SCHEMA)
+        """The per-bucket seen-set blobs (table name is historical — under
+        ``seen_backend="cuckoo"`` the rows are cuckoo fingerprint tables;
+        the schema follows the backend)."""
+        return self.store.read(self.spark, "blooms", self.seen.blob_schema)
 
     def round_no(self) -> int:
         return int(self.store.manifest()["meta"].get("round", 0))
@@ -209,7 +237,7 @@ class CrawlScheduler:
                 "frontier": cand,
                 "url_seen": self.spark.createDataFrame([], SEEN_SCHEMA),
             },
-            meta={"round": 0},
+            meta={"round": 0, "seen_backend": self.seen_backend},
         )
 
     def _budget_table_from(self, rules: DataFrame | None) -> DataFrame | None:
@@ -261,19 +289,19 @@ class CrawlScheduler:
             scheduled.select("url_hash").distinct()
         ).select("bucket", "url_hash")
         seen2 = seen_rows.unionByName(newly_seen)
-        # DELTA bloom maintenance: only buckets receiving new hashes get a
+        # DELTA blob maintenance: only buckets receiving new hashes get a
         # new blob; untouched buckets' blobs are never recomputed or
         # rewritten — the StateStore upsert commit re-references their
         # existing files. At the 10^10 design point this is the difference
         # between ~12 GB of blob writes per round and a few MB.
+        # merge_delta is the backend facade: bloom ORs bits then rebuilds
+        # overfull buckets; cuckoo inserts in place and rebuilds buckets
+        # the batch would push past the load factor.
         touched = newly_seen.select("bucket").distinct()
         blooms_touched = blooms.join(F.broadcast(touched), "bucket", "left_semi")
-        blooms_delta = self.seen.merge_blooms(
-            blooms_touched, scheduled.select("url_hash")
-        )
-        # keep FP rates honest: grow any bucket that outran its bit budget
-        # (only a touched bucket can newly overflow)
-        blooms_delta = self.seen.rebuild_overfull_blooms(blooms_delta, seen2).cache()
+        blooms_delta = self.seen.merge_delta(
+            blooms_touched, scheduled.select("url_hash"), seen2
+        ).cache()
         # full view for this round's probe = untouched ∪ delta (in-plan
         # union; nothing extra hits disk)
         blooms2 = blooms.join(
@@ -342,10 +370,13 @@ class CrawlScheduler:
         fetches refetchable by deleting them from the URL-seen set (the
         reference deletes the payload file; existence IS its seen-bit).
 
-        This is the deletion path bloom filters can't do alone — exact rows
-        are anti-joined out and only the touched buckets' blobs rebuild
-        (plans/state.py:delete). Commits a full url_seen rewrite (deletes
-        are rare; the per-round hot path stays append-only)."""
+        This is the deletion path plain bloom filters can't do alone.
+        Under the bloom backend, exact rows are anti-joined out and only
+        the touched buckets' blobs rebuild (plans/state.py:delete); under
+        the cuckoo backend the victims' fingerprints clear IN PLACE — no
+        rebuild at all, the rebuild-free delete the north rule names.
+        Commits a full url_seen rewrite (deletes are rare; the per-round
+        hot path stays append-only)."""
         log = self.store.read(self.spark, "fetch_log", FETCH_LOG_SCHEMA)
         victims = (
             log.filter(
@@ -356,11 +387,14 @@ class CrawlScheduler:
             .filter(F.pmod(F.col("url_hash"), F.lit(1000)) < per_mille)
         )
         seen_rows = self.url_seen()
-        remaining, rebuilt = self.seen.delete(seen_rows, victims)
+        remaining, rebuilt = self.seen.delete_delta(
+            seen_rows, victims, self.blooms()
+        )
         # rebuilt covers only buckets that lost rows; the upsert commit
         # re-references every other bucket's existing blob file (a bucket
-        # emptied completely keeps its stale blob — bloom-FP-safe, the
-        # exact anti-join still confirms)
+        # emptied completely keeps its stale blob under bloom — FP-safe,
+        # the exact anti-join still confirms; under cuckoo the cleared
+        # table is the new truth)
         return self.store.commit(
             tables={"url_seen": remaining},
             upserts={"blooms": rebuilt},

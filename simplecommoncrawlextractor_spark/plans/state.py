@@ -87,7 +87,16 @@ def _test_blob(hashes: np.ndarray, bitmap: bytes, n_bits: int, n_hashes: int) ->
 
 
 class BloomSeenSet:
-    """Partitioned bloom URL-seen set over (bucket, url_hash) exact rows."""
+    """Partitioned bloom URL-seen set over (bucket, url_hash) exact rows.
+
+    Backend facade (shared with ``CuckooSeenSet`` so ``CrawlScheduler``
+    stays branch-free): ``blob_schema``, ``merge_delta``, ``delete_delta``,
+    ``probe`` — both backends confirm suspects against the exact rows, so
+    probe OUTPUT is identical regardless of blob kind; only the blob
+    maintenance algebra differs (bloom: OR-bits + rebuild-on-overfull /
+    rebuild-on-delete; cuckoo: slot insert + in-place fingerprint clear)."""
+
+    blob_schema = BLOOM_SCHEMA
 
     def __init__(self, n_buckets: int = DEFAULT_N_BUCKETS):
         self.n_buckets = n_buckets
@@ -243,6 +252,25 @@ class BloomSeenSet:
             remaining.join(F.broadcast(touched), "bucket", "left_semi")
         )
         return remaining, rebuilt
+
+    # -- scheduler backend facade -----------------------------------------
+    def merge_delta(
+        self, touched_blobs: DataFrame, new_rows: DataFrame, seen_after: DataFrame
+    ) -> DataFrame:
+        """Per-round blob delta for the buckets receiving ``new_rows``:
+        OR the new hashes in, then rebuild any bucket whose item count
+        outran its bit budget (from ``seen_after``, the post-merge exact
+        rows). Only touched buckets can newly overflow."""
+        delta = self.merge_blooms(touched_blobs, new_rows)
+        return self.rebuild_overfull_blooms(delta, seen_after)
+
+    def delete_delta(
+        self, seen_rows: DataFrame, victims: DataFrame, blobs: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        """(remaining exact rows, blob delta for touched buckets). Bloom
+        bits can't unset — touched buckets rebuild from the remaining
+        rows; ``blobs`` is unused (kept for backend-signature parity)."""
+        return self.delete(seen_rows, victims)
 
 
 
@@ -693,7 +721,11 @@ class CuckooSeenSet:
     negatives as long as every delete corresponds to a prior insert of
     that hash and a hash is not re-inserted across batches (the seen-set
     flow guarantees both: only probe-survivors insert, and the janitor
-    deletes rows it just read)."""
+    deletes rows it just read; ``delete_delta`` additionally presence-
+    guards victims against the exact rows so even a replayed janitor call
+    cannot clear a colliding stranger's fingerprint)."""
+
+    blob_schema = CUCKOO_SCHEMA
 
     def __init__(self, n_buckets: int = DEFAULT_N_BUCKETS):
         self.n_buckets = n_buckets
@@ -849,3 +881,63 @@ class CuckooSeenSet:
             .cogroup(self.bucketize(victims).groupBy("bucket"))
             .applyInPandas(drop, CUCKOO_SCHEMA)
         )
+
+    # -- scheduler backend facade -----------------------------------------
+    def merge_delta(
+        self, touched_blobs: DataFrame, new_rows: DataFrame, seen_after: DataFrame
+    ) -> DataFrame:
+        """Per-round blob delta: insert the new hashes in place for buckets
+        with headroom; buckets the batch would push past the load factor
+        rebuild at a larger capacity from ``seen_after`` (the post-merge
+        exact rows) — the cuckoo analog of rebuild_overfull_blooms, but
+        detected BEFORE insert (stored 16-bit fingerprints can't be
+        re-indexed at a different n_ck, so growth is always a rebuild).
+        The headroom predicate is the same expression ``insert`` raises
+        on, so the in-place path can never trip it."""
+        incoming = (
+            self.bucketize(new_rows)
+            .groupBy("bucket")
+            .agg(F.count_distinct("url_hash").alias("incoming"))
+        )
+        meta = incoming.join(
+            touched_blobs.select("bucket", "n_ck", "n_items"), "bucket", "left"
+        )
+        overfull = meta.filter(
+            F.col("n_ck").isNotNull()
+            & (
+                (F.col("n_items") + F.col("incoming"))
+                > F.col("n_ck") * F.lit(_CK_SLOTS) * F.lit(_CK_LOAD)
+            )
+        ).select("bucket")
+        rebuilt = self.build_filters(
+            seen_after.join(F.broadcast(overfull), "bucket", "left_semi")
+        )
+        ok_blobs = touched_blobs.join(F.broadcast(overfull), "bucket", "left_anti")
+        ok_rows = (
+            self.bucketize(new_rows)
+            .join(F.broadcast(overfull), "bucket", "left_anti")
+            .select("url_hash")
+        )
+        return self.insert(ok_blobs, ok_rows).unionByName(rebuilt)
+
+    def delete_delta(
+        self, seen_rows: DataFrame, victims: DataFrame, blobs: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        """(remaining exact rows, blob delta) — THE cuckoo payoff: victims'
+        fingerprints clear in place, no rebuild from exact rows. Victims
+        are presence-guarded (semi-join against the exact rows) first:
+        deleting a hash that is NOT stored could clear a distinct hash
+        that collides in (fingerprint, bucket pair) — a false negative.
+        The guard also makes the janitor idempotent (a replayed delete of
+        an already-deleted row is a no-op)."""
+        v = (
+            self.bucketize(victims.select("url_hash"))
+            .select("bucket", "url_hash")
+            .join(seen_rows, ["bucket", "url_hash"], "left_semi")
+        )
+        remaining = seen_rows.join(v, ["bucket", "url_hash"], "left_anti")
+        touched = v.select("bucket").distinct()
+        cleared = self.delete(
+            blobs.join(F.broadcast(touched), "bucket", "left_semi"), v
+        )
+        return remaining, cleared

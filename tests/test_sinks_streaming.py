@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from simplecommoncrawlextractor_spark.operators.sinks import (
@@ -50,12 +51,16 @@ def test_tsv_json_sinks_and_concat(spark, tmp_path):
     assert merged.count() == 4
 
 
-def test_delete_refetchable_reopens_urls(spark, tmp_path):
+@pytest.mark.parametrize("backend", ["bloom", "cuckoo"])
+def test_delete_refetchable_reopens_urls(spark, tmp_path, backend):
     """K6: deleting truncated fetches from the seen set makes exactly those
-    URLs pass the bloom+exact probe again (cuckoo-delete semantics via
-    bucket-local rebuild)."""
+    URLs pass the blob+exact probe again — bloom via bucket-local rebuild,
+    cuckoo via in-place fingerprint clears (both backends run the full
+    bootstrap→step→janitor lifecycle here)."""
     store = StateStore(str(tmp_path / "s"))
-    sched = CrawlScheduler(spark, store, host_budget=4, salt_k=4, n_buckets=8)
+    sched = CrawlScheduler(
+        spark, store, host_budget=4, salt_k=4, n_buckets=8, seen_backend=backend
+    )
     sched.bootstrap(seed_frontier(spark, n=150))
     sched.run(2)
     log = sched.crawl_order()
