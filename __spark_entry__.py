@@ -15,6 +15,7 @@ instead (tests/test_scheduler.py, tests/test_multimodal_decode.py).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -418,6 +419,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["segment_duplicate_groups"] = segment_dup_groups
 
+    def substring_dup_spans(s, d):
+        """Lee-et-al-style exact duplicated-substring span detection
+        (the detection half of 'Deduplicating Training Data Makes
+        Language Models Better'): maximal token ranges covered by
+        8-token windows whose text repeats corpus-wide — window-gram
+        explode, corpus dup semi-join, gaps-and-islands merge. DuckDB
+        replays the same windows, dup test, and island merge."""
+        from simplecommoncrawlextractor_spark.operators.textquality import (
+            duplicate_substring_spans,
+        )
+
+        return duplicate_substring_spans(_docs(s, d), n=8).orderBy(
+            "doc_id", "span_start"
+        )
+
+    q["substring_dup_spans"] = substring_dup_spans
+
     # (rolling_fingerprint — the vectorized Karp-Rabin kernel — is
     # golden-pinned in tests/test_textstats.py and benched; it is not a
     # gate entry so every rows-only slot goes to a distinct operator)
@@ -490,12 +508,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_near_dups_bucketed"] = lambda s, d: SIM.embedding_near_dups_bucketed(
         _emb(s, d), threshold=0.4, dim=64, n_planes=4, n_tables=8, max_bucket=512
     )
-    q["ann_multiprobe_top1"] = lambda s, d: SIM.ann_multiprobe_top1(
-        _emb(s, d), dim=64, n_planes=4, n_tables=4, max_bucket=512
-    )
-    q["ann_ivf_top1"] = lambda s, d: SIM.ann_ivf_top1(
-        _emb(s, d), centroid_stride=67, nprobe=3, max_cell=4096
-    )
+    # ann_multiprobe_top1 and ann_ivf_top1 retired from the roster
+    # (round 5): both keep their pytest equivalence/recall suites
+    # (tests/test_similarity.py) and ann_multiprobe_top1 stays on the
+    # bench roster (bench.py _extra_bench_queries) for round-over-round
+    # continuity; their seats now carry warc_roundtrip_records (the
+    # reference's flagship WARC pipeline) and substring_dup_spans
+    # (Lee-et-al span detection). ann_lsh_bucketed,
+    # ann_near_dups_bucketed and semantic_dedup_pairs keep the ANN
+    # family oracled.
 
     # --- extraction (oracled since round 4 via the presniffed path) ------
     def extraction_select(s, d):
@@ -539,6 +560,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["extraction_select"] = extraction_select
+
+    def warc_roundtrip_records(s, d):
+        """The reference's flagship WARC pipeline, oracled end-to-end on
+        REAL archive bytes (cc/warc/Extractor.java:46-100 record
+        iteration; cc/CCGetter.java:205-217 member layout): deterministic
+        rows derived from the documents table → ``write_warc`` (one gzip
+        member per record, the CC layout) → ``read_warc`` (binaryFile
+        scan + Content-Length walker) → ``warc_response_records`` (F3
+        type filter + HTTP unwrap) → projection. The DuckDB oracle
+        derives the same rows straight from the documents table — every
+        url/mime/truncated flag, byte count, and payload md5 must survive
+        the gzip+WARC+HTTP round trip bit-for-bit."""
+        import re
+        import tempfile
+
+        from simplecommoncrawlextractor_spark.sources.warc import (
+            read_warc,
+            warc_response_records,
+            write_warc,
+        )
+
+        docs = load_table(s, d, "documents")
+        rows = docs.select(
+            F.concat(
+                F.lit("http://"), F.col("source"), F.lit(".example.org/doc/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+            F.when(F.col("lang") == "en", F.lit("text/html"))
+            .otherwise(F.lit("text/plain"))
+            .alias("header_mime"),
+            F.when(F.pmod(F.col("doc_id"), F.lit(7)) == 0, F.lit("length"))
+            .cast("string")
+            .alias("truncated"),
+        )
+        out_dir = os.path.join(
+            tempfile.gettempdir(),
+            "ccspark-warc-gate-" + re.sub(r"\W+", "_", d.rstrip("/")),
+        )
+        write_warc(rows.repartition(4, "url"), out_dir)
+        resp = warc_response_records(read_warc(s, os.path.join(out_dir, "*.warc.gz")))
+        return resp.select(
+            "url",
+            F.col("header_mime").alias("mime"),
+            "truncated",
+            F.col("length").alias("n_bytes"),
+            F.md5("payload").alias("payload_md5"),
+        ).orderBy("url")
+
+    q["warc_roundtrip_records"] = warc_roundtrip_records
 
     def multimodal_features(s, d):
         from simplecommoncrawlextractor_spark.operators.multimodal import (
@@ -654,14 +725,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups", "dedup_minhash_lsh", "dedup_ngram_jaccard",
         "dedup_simhash", "dedup_components", "text_token_hist",
         "text_quality", "text_lang_id", "text_fingerprint", "text_token_bpe",
-        "repetition_report", "segment_duplicate_groups",
-        # extraction (oracled: presniffed path, sniff UDF pytest-verified)
-        "extraction_select",
+        "repetition_report", "segment_duplicate_groups", "substring_dup_spans",
+        # extraction + the real-WARC round trip (oracled)
+        "extraction_select", "warc_roundtrip_records",
         # events (oracled)
         "events_hourly_counts", "events_sessionize",
-        # similarity (oracled)
-        "ann_lsh_bucketed", "ann_multiprobe_top1", "ann_ivf_top1",
-        "ann_near_dups_bucketed", "semantic_dedup_pairs",
+        # similarity (oracled; multiprobe/ivf variants retired round 5 —
+        # pytest recall suites + bench continuity kept)
+        "ann_lsh_bucketed", "ann_near_dups_bucketed", "semantic_dedup_pairs",
         # rows-only tail (stateful / binary-payload / pandas-UDF paths)
         "scheduler_one_round", "multimodal_image_features",
     ]
@@ -854,6 +925,19 @@ WHERE rec_id % 17 <> 0
 ORDER BY url
 """.strip()
     )
+
+    # warc_roundtrip_records: the Spark side pushes these rows through a
+    # REAL gzip+WARC+HTTP archive write and re-read; the oracle derives
+    # them directly from the documents table — equality means the archive
+    # round trip is byte-faithful (md5 over the exact payload bytes).
+    o["warc_roundtrip_records"] = """
+SELECT 'http://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN lang = 'en' THEN 'text/html' ELSE 'text/plain' END AS mime,
+       CASE WHEN doc_id % 7 = 0 THEN 'length' ELSE NULL END AS truncated,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents ORDER BY url
+""".strip()
 
     o["f14_identity_norm"] = (
         "SELECT doc_id, regexp_replace(trim('  ' || regexp_replace(text, ' the ', "
@@ -1058,6 +1142,31 @@ SELECT seg AS segment, CAST(count(*) AS BIGINT) AS n_occurrences,
 FROM segs GROUP BY 1 HAVING count(*) > 1 ORDER BY segment, n_occurrences
 """.strip()
 
+    # substring_dup_spans: same windows, same corpus-wide dup test, same
+    # gaps-and-islands merge as operators/textquality.py
+    # duplicate_substring_spans (n=8).
+    o["substring_dup_spans"] = """
+WITH t AS (SELECT doc_id, list_filter(string_split_regex(text,'\\s+'), x->x<>'') w
+           FROM documents),
+g AS (SELECT doc_id, i-1 AS pos, list_aggregate(w[i:i+7], 'string_agg', ' ') AS gram
+      FROM t, UNNEST(generate_series(1, len(w)-7)) u(i) WHERE len(w) >= 8),
+d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN gap IS NULL OR gap > 7 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+        FROM hits)
+)
+SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+       CAST(max(pos) + 7 AS INTEGER) AS span_end,
+       count(*) AS n_windows
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+""".strip()
+
     o["events_hourly_counts"] = (
         "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_idx, event_type, "
         "count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY 1, 2"
@@ -1174,66 +1283,6 @@ keep AS (
         " / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))"
         " * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))))"
     )
-    o["ann_multiprobe_top1"] = f"""
-WITH {_ann_cte(4)},
-aprobe AS (
-  SELECT k.vec_id, k.tbl,
-         unnest([k.bucket, xor(k.bucket, 1), xor(k.bucket, 2), xor(k.bucket, 4), xor(k.bucket, 8)]) AS bucket
-  FROM keep k
-),
-cand AS (
-  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM aprobe a JOIN keep b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id != b.vec_id
-),
-pairs AS (
-  SELECT c.id_a, c.id_b, {_COS} AS cos
-  FROM cand c
-  JOIN embeddings ea ON ea.vec_id = c.id_a
-  JOIN embeddings eb ON eb.vec_id = c.id_b
-)
-SELECT id_a AS vec_id, id_b AS nn_id FROM (
-  SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn FROM pairs
-) WHERE rn = 1 ORDER BY vec_id
-""".strip()
-    o["ann_ivf_top1"] = f"""
-WITH cent AS (
-  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id % 67 = 0
-),
-assign AS (
-  SELECT e.vec_id, c.cell,
-         list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
-         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-            * sqrt(list_dot_product(c.cv, c.cv))) AS cs
-  FROM embeddings e, cent c
-),
-probes AS (
-  SELECT vec_id, cell, rank FROM (
-    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rank
-    FROM assign
-  ) WHERE rank <= 3
-),
-cellkeep AS (
-  SELECT cell FROM probes WHERE rank = 1 GROUP BY cell HAVING count(*) <= 4096
-),
-home AS (
-  SELECT vec_id AS id_b, cell FROM probes WHERE rank = 1
-  AND cell IN (SELECT cell FROM cellkeep)
-),
-kprobes AS (SELECT p.* FROM probes p JOIN cellkeep USING (cell)),
-cand AS (
-  SELECT DISTINCT a.vec_id AS id_a, h.id_b
-  FROM kprobes a JOIN home h ON a.cell = h.cell AND a.vec_id != h.id_b
-),
-pairs AS (
-  SELECT c.id_a, c.id_b, {_COS} AS cos
-  FROM cand c
-  JOIN embeddings ea ON ea.vec_id = c.id_a
-  JOIN embeddings eb ON eb.vec_id = c.id_b
-)
-SELECT id_a AS vec_id, id_b AS nn_id FROM (
-  SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn FROM pairs
-) WHERE rn = 1 ORDER BY vec_id
-""".strip()
     o["ann_near_dups_bucketed"] = f"""
 WITH {_ann_cte(_ANN_TABLES)},
 cand AS (

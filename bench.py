@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "dedup_minhash_prod",  # xxhash64 production path, band-capped
     "frontier_schedule_prod",  # default xxhash64-priority path, no sort
     "semantic_dedup_pairs",  # SemDeDup: quantized k-means + cluster cosine
+    "warc_roundtrip_records",  # real gzip+WARC archive write → re-read
 ]
 
 
@@ -74,7 +75,17 @@ def _extra_bench_queries() -> dict:
             "host", "fetch_rank", "url_canon", "url_hash", "priority"
         )
 
+    from simplecommoncrawlextractor_spark.operators import similarity as SIM
+
+    def _emb(s, d):
+        return load_table(s, d, "embeddings")
+
     return {
+        # gate seat retired round 5 (seat now carries warc_roundtrip_records);
+        # benched here so the round-over-round continuity number survives
+        "ann_multiprobe_top1": lambda s, d: SIM.ann_multiprobe_top1(
+            _emb(s, d), dim=64, n_planes=4, n_tables=4, max_bucket=512
+        ),
         "dedup_simhash_prod": lambda s, d: D.simhash_near_dups(
             load_table(s, d, "documents"), max_hamming=8
         ),
