@@ -219,6 +219,7 @@ def write_warc(
     mime_col: str = "header_mime",
     truncated_col: str = "truncated",
     warc_date: str = "2026-01-01T00:00:00Z",
+    compresslevel: int = 9,
 ) -> int:
     """The crawl's archive sink: (url, payload, mime) rows → per-partition
     ``part-NNNNN.warc.gz`` files (one gzip member per record, the CC
@@ -226,11 +227,19 @@ def write_warc(
     a half-file behind. Record ids derive from the url (deterministic —
     any rerun emits byte-identical archives given the same partitioning);
     returns the number of records written. ``read_warc`` round-trips the
-    output bit-for-bit, so crawl → archive → re-extract is closed."""
+    output bit-for-bit, so crawl → archive → re-extract is closed.
+
+    Rows reach the task through Arrow batches (mapInPandas), not the
+    RDD/Pyrolite row pickler — at 8000 members the batched transfer is
+    the difference between pickling every Row through the JVM↔Python
+    socket one at a time and shipping three columnar buffers; each member
+    still compresses with ONE zlib C call (``zlib.compress(wbits=31)``,
+    byte-identical to ``gzip.compress(mtime=0)`` at level 9 — no
+    wall-clock in the bytes, so reruns stay identical)."""
     import glob as _glob
-    import gzip as _gzip
     import hashlib
     import os as _os
+    import zlib as _zlib
 
     # a rerun with fewer partitions must not leave stale part files mixed
     # into the directory the reader globs
@@ -244,11 +253,11 @@ def write_warc(
     has_trunc = truncated_col in fetched.columns
     cols = [url_col, payload_col, mime_col] + ([truncated_col] if has_trunc else [])
 
-    def write_partition(pid: int, rows) -> Iterator[int]:
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        _os.makedirs(out_dir, exist_ok=True)  # task-side: executors need it
         ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
         attempt = ctx.taskAttemptId() if ctx is not None else 0
         # attempt-unique tmp: concurrent attempts (speculation, zombie
         # retry) each write their own file; os.replace is atomic and
@@ -256,30 +265,40 @@ def write_warc(
         tmp = _os.path.join(out_dir, f".part-{pid:05d}.{attempt}.warc.gz.tmp")
         final = _os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
         n = 0
-        with open(tmp, "wb") as f:
-            for r in rows:
-                uri, payload, mime = r[url_col], bytes(r[payload_col]), r[mime_col]
-                trunc = r[truncated_col] if has_trunc else None
+        f = None
+        for pdf in batches:
+            if f is None and len(pdf):
+                _os.makedirs(out_dir, exist_ok=True)  # task-side: executors
+                f = open(tmp, "wb")
+            trunc_vals = (
+                pdf[truncated_col] if has_trunc else [None] * len(pdf)
+            )
+            for uri, payload, mime, trunc in zip(
+                pdf[url_col], pdf[payload_col], pdf[mime_col], trunc_vals
+            ):
                 rid = "urn:ccspark:" + hashlib.sha1(uri.encode()).hexdigest()
                 f.write(
-                    _gzip.compress(
+                    _zlib.compress(
                         _warc_record_bytes(
-                            uri, payload, mime, warc_date, rid, truncated=trunc
+                            uri, bytes(payload), mime, warc_date, rid,
+                            # nulls arrive as None (Arrow) — but guard
+                            # against pandas NaN, which is truthy
+                            truncated=trunc if isinstance(trunc, str) else None,
                         ),
-                        mtime=0,  # no wall-clock in the bytes: rerun-identical
+                        compresslevel,
+                        31,  # gzip container, no mtime: rerun-identical
                     )
                 )
                 n += 1
-        if n:
+        if f is not None:
+            f.close()
             _os.replace(tmp, final)
-        else:
-            _os.remove(tmp)
-        yield n
+        yield pd.DataFrame({"n": [n]})
 
     counts = (
         fetched.select(*cols)
         .sortWithinPartitions(url_col)  # shuffle order is not a contract
-        .rdd.mapPartitionsWithIndex(write_partition)
+        .mapInPandas(write_partition, "n long")
         .collect()
     )
-    return int(sum(counts))
+    return int(sum(r["n"] for r in counts))

@@ -230,3 +230,38 @@ def test_write_warc_sweeps_stale_attempt_tmp_files(spark, tmp_path):
     write_warc(spark.createDataFrame(rows).coalesce(1), str(out))
     assert not stale.exists()
     assert sorted(p.name for p in out.iterdir()) == ["part-00000.warc.gz"]
+
+
+def test_write_warc_8000_member_throughput_floor(spark, tmp_path):
+    """Sink throughput guard on the 8000-member fixture: the Arrow-batched
+    writer must stay within a generous wall-clock budget (catches a
+    quadratic or per-row-pickling regression; the measured steady state
+    is ~70k members/s on 8 tasks — see BASELINE.md round 5). Also pins
+    that level-9 zlib members equal gzip.compress(mtime=0) bytes, the
+    cross-version byte-compat the round-4 archives rely on."""
+    import gzip
+    import time
+    import zlib
+
+    import pandas as pd
+
+    from simplecommoncrawlextractor_spark.sources.warc import write_warc
+
+    rec = b"determinism probe " * 64
+    assert zlib.compress(rec, 9, 31) == gzip.compress(rec, mtime=0)
+
+    n = 8000
+    rows = pd.DataFrame(
+        {
+            "url": [f"http://h{i%50}.ex.com/p/{i}" for i in range(n)],
+            "payload": [f"body {i} ".encode() * 40 for i in range(n)],
+            "header_mime": ["text/html"] * n,
+        }
+    )
+    df = spark.createDataFrame(rows).repartition(8, "url")
+    out = tmp_path / "arch8000"
+    t0 = time.time()
+    written = write_warc(df, str(out))
+    dt = time.time() - t0
+    assert written == n
+    assert dt < 20.0, f"8000-member archive took {dt:.1f}s (expected ~1s)"
