@@ -21,6 +21,8 @@ array<float>, label).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -378,25 +380,38 @@ def quantized_vectors(
     return emb.select(F.col(id_col).alias("id"), q.alias("q"))
 
 
-def _sq_dist(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+def _assign(vecs: DataFrame, centroid_rows: list[tuple[int, list[int]]]) -> DataFrame:
+    """Nearest-centroid assignment as a SHUFFLE-FREE Arrow map: the K
+    centroids ride the task closure as a numpy constant (the standard
+    O(N·K) Lloyd's cost), each batch computes its B×K distance matrix
+    with one BLAS matmul, and nothing leaves the partition — strictly
+    better at 10^10 rows than the broadcast-join + min_by regroup this
+    replaces, which shuffled N·K scored rows back down to N.
 
+    Exactness: all intermediates (dots ≤ 64·10^8, norms, distances)
+    stay below 2^53, so float64 BLAS arithmetic is EXACT integer
+    arithmetic here; distances compare as the same integers the
+    previous zip_with/aggregate plan produced. Deterministic tiebreak:
+    ``centroid_rows`` is sorted by cluster id and argmin returns the
+    first minimum, so the smallest cluster id wins equal distances."""
+    clusters = np.array([c for c, _ in centroid_rows], dtype=np.int64)
+    assert (np.diff(clusters) > 0).all() if len(clusters) > 1 else True
+    C = np.array([v for _, v in centroid_rows], dtype=np.float64)  # K×dim
+    c2 = (C * C).sum(axis=1)  # K
 
-def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the K centroids against the
-    table (the standard O(N·K) Lloyd's cost, all JVM-side; K is a small
-    constant, so this is a bounded fan-out, not an N² pair join).
-    Deterministic tiebreak: smallest cluster id wins equal distances."""
-    scored = vecs.join(F.broadcast(centroids)).select(
-        "id", "q", "cluster", _sq_dist(F.col("q"), F.col("c")).alias("d")
-    )
-    return scored.groupBy("id").agg(
-        F.min_by(F.struct("cluster", "q"), F.struct("d", "cluster")).alias("w")
-    ).select("id", F.col("w.cluster").alias("cluster"), F.col("w.q").alias("q"))
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.array(pdf["q"].tolist(), dtype=np.float64)  # B×dim
+            # ‖q−c‖² = ‖q‖² − 2q·c + ‖c‖², every term < 2^53 → exact
+            d = (Q * Q).sum(axis=1)[:, None] - 2.0 * (Q @ C.T) + c2[None, :]
+            idx = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "cluster": clusters[idx], "q": pdf["q"]}
+            )
+
+    return vecs.mapInPandas(gen, "id long, cluster long, q array<long>")
 
 
 def kmeans_clusters(
@@ -415,47 +430,46 @@ def kmeans_clusters(
     assignment carries it anyway — callers that need q avoid a second
     scan+quantize pass).
 
-    Plan shape at 10^10 rows: assignment is a broadcast-K fan-out with
-    map-side min_by combine; the centroid update is one
-    posexplode(64·N) → (cluster, pos) partial-agg shuffle per iteration —
-    both scale-linear, no pairwise stage anywhere."""
-    # localCheckpoint both loop-carried frames: iteration i+1's plan
-    # references iteration i's output through BOTH the assignment join
-    # and the update agg, and without truncation each round re-evaluates
-    # every prior round's full N·K assignment — the classic iterative-
-    # lineage blowup (measured ~2x on this pipeline at sf0.1). The
-    # centroid frame is K rows (O(K) storage); ``vecs`` is the FULL
-    # N-row quantized table — at the 10^10 design point that checkpoint
-    # is dataset-sized executor storage, the standard price every
-    # iterative Spark algorithm (GraphX, MLlib k-means) pays to keep
-    # per-round work O(N) instead of O(rounds*N). The oracle replays
-    # results, not plans, so nothing semantic changes.
+    Plan shape at 10^10 rows: assignment is a shuffle-free Arrow map
+    with the K centroids riding the task closure (see ``_assign``); the
+    centroid update is one posexplode(64·N) → (cluster, pos) partial-agg
+    shuffle per iteration — both scale-linear, no pairwise stage
+    anywhere.
+
+    The loop-carried state is K centroids — K·dim integers, metadata-
+    scale — so each iteration COLLECTS the (cluster, pos, s, n) partial
+    sums (≤ K·dim rows, the same bounded-collect class as the manifest
+    owner map) and feeds the next assignment a LITERAL centroid frame.
+    That removes the iterative-lineage blowup at the root: iteration
+    i+1's plan starts from constants instead of referencing iteration
+    i's full plan, no loop-carried checkpoint, and one job per
+    iteration instead of a chain of checkpoint materializations
+    (measured 4.98 s → ~2 s on semantic_dedup_pairs at sf0.1). The
+    N-row quantized table still gets a lazy localCheckpoint — it is
+    scanned once per assignment (iters+1 times), and without truncation
+    each scan would re-run the quantize transform."""
     vecs = quantized_vectors(emb, id_col, vec_col, scale).localCheckpoint(eager=False)
-    centroids = (
-        vecs.orderBy("id").limit(k)
-        .select(F.col("id").alias("cluster"), F.col("q").alias("c"))
-        .localCheckpoint(eager=False)
-    )
+    # init = the k smallest-id vectors; k rows — driver-side literal
+    init = vecs.orderBy("id").limit(k).collect()
+    centroid_rows = [(int(r["id"]), [int(v) for v in r["q"]]) for r in init]
     for _ in range(iters):
-        assigned = _assign(vecs, centroids)
+        assigned = _assign(vecs, centroid_rows)
         sums = (
             assigned.select("cluster", F.posexplode("q").alias("pos", "v"))
             .groupBy("cluster", "pos")
             .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
-        )
-        comp = F.expr(f"((s + n * {scale}) div n) - {scale}")
-        centroids = (
-            sums.select("cluster", "pos", comp.alias("cv"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                    lambda s: s["cv"],
-                ).alias("c")
-            )
-            .localCheckpoint(eager=False)
-        )
-    final = _assign(vecs, centroids)
+        ).collect()
+        # elementwise integer mean, exactly the engine/oracle formula:
+        # ((s + n*scale) div n) - scale with a positive dividend, so
+        # Python // (floor), Spark div (trunc) and DuckDB // agree
+        by_cluster: dict[int, list[tuple[int, int]]] = {}
+        for r in sums:
+            cv = (int(r["s"]) + int(r["n"]) * scale) // int(r["n"]) - scale
+            by_cluster.setdefault(int(r["cluster"]), []).append((int(r["pos"]), cv))
+        centroid_rows = [
+            (c, [v for _, v in sorted(pv)]) for c, pv in sorted(by_cluster.items())
+        ]
+    final = _assign(vecs, centroid_rows)
     if with_vectors:
         return final.select(F.col("id").alias(id_col), "cluster", "q")
     return final.select(F.col("id").alias(id_col), "cluster")
@@ -482,59 +496,53 @@ def semantic_near_dup_pairs(
     clusters = kmeans_clusters(
         emb, k, iters, id_col, vec_col, scale, with_vectors=True
     )
-    # squared norm ONCE per vector, not per pair: the higher-order-function
-    # aggregates are interpreted per element, so hoisting ‖·‖² out of the
-    # O(Σ cluster²) pair stage removes two thirds of its element ops
-    n2 = F.aggregate(
-        F.transform(F.col("q"), lambda x: x * x),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    # checkpointed: _cap_groups consumes it through two join branches
-    tagged = clusters.select(
-        id_col, "cluster", "q", n2.alias("n2")
-    ).localCheckpoint(eager=False)
-    if max_cluster is not None:
-        tagged = _cap_groups(tagged, ["cluster"], max_cluster)
-    a = tagged.select(
-        F.col("cluster"), F.col(id_col).alias("id_a"),
-        F.col("q").alias("qa"), F.col("n2").alias("na2"),
-    )
-    b = tagged.select(
-        F.col("cluster"), F.col(id_col).alias("id_b"),
-        F.col("q").alias("qb"), F.col("n2").alias("nb2"),
-    )
-    pairs = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
-    dot = F.aggregate(
-        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    scored = pairs.select(
-        "cluster", "id_a", "id_b", dot.alias("dot"), "na2", "nb2",
-    )
-    d = F.col("dot").cast("decimal(38,0)")
-    lhs = d * d * F.lit(100_000_000).cast("decimal(38,0)")
-    rhs = (
-        F.lit(tau_bp * tau_bp).cast("decimal(38,0)")
-        * F.col("na2").cast("decimal(38,0)")
-        * F.col("nb2").cast("decimal(38,0)")
-    )
-    # conservative DOUBLE prefilter ahead of the exact decimal test: the
-    # 1e-6 relative slack is ~10 orders of magnitude wider than double's
-    # worst-case rounding over these products, so no true pair can be
-    # dropped — the interpreted BigDecimal comparison (the slow part of
-    # this stage) then runs only on near/over-threshold survivors, and
-    # it alone decides membership (exact semantics unchanged)
-    dd = F.col("dot").cast("double")
-    loose = (dd * dd * F.lit(1.0e8)) >= (
-        F.lit(float(tau_bp * tau_bp) * (1.0 - 1.0e-6))
-        * F.col("na2").cast("double")
-        * F.col("nb2").cast("double")
-    )
+    t2 = tau_bp * tau_bp
+    loose_rhs = float(t2) * (1.0 - 1.0e-6)
+
+    # one applyInPandas per cluster replaces the a⨝b self-join whose
+    # zip_with/aggregate dot products were interpreted per element (the
+    # measured bottleneck: ~2M pairs × 64 element ops at sf0.1). Per
+    # cluster (≤ max_cluster rows, the same cap _cap_groups enforced as
+    # a join): ONE float64 BLAS gram matrix — exact, every dot ≤ 64·10^8
+    # < 2^53 — then a conservative float prefilter (1e-6 relative slack,
+    # ~10 orders wider than double's worst-case rounding over these
+    # products) and the EXACT arbitrary-precision integer test
+    # dot²·10^8 ≥ τ²·‖a‖²·‖b‖² only on the few survivors, which alone
+    # decides membership. Shuffle cost: O(N) rows once — no pair ever
+    # crosses the wire.
+    def cluster_pairs(key, pdf):
+        empty = pd.DataFrame(
+            {"cluster": pd.Series([], dtype="int64"),
+             "id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64")}
+        )
+        n = len(pdf)
+        if n < 2 or (max_cluster is not None and n > max_cluster):
+            return empty
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        Q = np.array(pdf["q"].tolist(), dtype=np.float64)
+        n2 = (Q * Q).sum(axis=1)
+        D = Q @ Q.T
+        iu, ju = np.triu_indices(n, 1)  # ids ascending → id_a < id_b
+        dots = D[iu, ju]
+        cand = np.nonzero(
+            (dots > 0) & (dots * dots * 1.0e8 >= loose_rhs * n2[iu] * n2[ju])
+        )[0]
+        keep = [
+            c
+            for c in cand
+            if int(dots[c]) ** 2 * 100_000_000
+            >= t2 * int(n2[iu[c]]) * int(n2[ju[c]])
+        ]
+        return pd.DataFrame(
+            {"cluster": np.full(len(keep), int(key[0]), dtype=np.int64),
+             "id_a": ids[iu[keep]], "id_b": ids[ju[keep]]}
+        )
+
     return (
-        scored.filter((F.col("dot") > 0) & loose & (lhs >= rhs))
-        .select("cluster", "id_a", "id_b")
+        clusters.groupBy("cluster")
+        .applyInPandas(cluster_pairs, "cluster long, id_a long, id_b long")
         .orderBy("id_a", "id_b")
     )
 
