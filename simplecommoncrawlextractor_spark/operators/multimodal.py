@@ -6,12 +6,14 @@ signatures, partitioning) is real and tested. Decoding is REAL for the
 formats decodable with stdlib + numpy alone — uncompressed BMP
 (BITMAPINFOHEADER, 24/32bpp BI_RGB), binary PPM (P6), non-interlaced
 8-bit RGB/RGBA PNG (zlib inflate + the five scanline filters,
-``_decode_png``), and baseline sequential JPEG (SOF0: canonical Huffman
-entropy decode, dequantize, batched IDCT, 4:2:0/4:2:2/4:4:4 chroma
-upsample, restart markers — ``_decode_jpeg``). Progressive JPEG and
-WEBP report TRUE header dimensions (``_header_dims``: SOFn / VP8 /
-VP8L / VP8X) while their pixel features remain the deterministic fake
-behind ``_decode_image_stub`` (this container ships no image
+``_decode_png``), and JPEG — both baseline sequential (SOF0) and
+progressive (SOF2: spectral selection + successive approximation, DC
+first/refine, AC first with EOB runs, AC refine with correction bits)
+through one multi-scan decoder (``_decode_jpeg``: canonical Huffman,
+dequantize, batched IDCT, 4:2:0/4:2:2/4:4:4 chroma upsample, restart
+markers). WEBP reports TRUE header dimensions (``_header_dims``:
+VP8 / VP8L / VP8X) while its pixel features remain the deterministic
+fake behind ``_decode_image_stub`` (this container ships no image
 libraries) — swap in PIL/libav by replacing that one function. Batch shape: mapInPandas receives an iterator of Arrow
 batches; we yield one output frame per input frame to keep memory bounded
 regardless of payload size — the pattern that matters at 100 TB, where a
@@ -337,14 +339,18 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray] | None:
 
 
 def _decode_jpeg_parse(payload: bytes) -> tuple[int, int, np.ndarray] | None:
-    """REAL decode of a baseline sequential JPEG (SOF0, 8-bit, 1 or 3
-    components, subsampling factors in {1, 2}) with stdlib + numpy: marker
-    walk, canonical Huffman entropy decode, dequantize + dezigzag, batched
-    orthonormal IDCT, chroma upsample, BT.601 YCbCr→RGB. Returns None for
-    anything else — progressive (SOF2), arithmetic coding, 12-bit, CMYK,
-    hierarchical — and for images past the 2^20-pixel cap (the entropy
-    loop is per-coefficient Python, so the cap bounds executor CPU on
-    untrusted payloads exactly like the PNG slow-path budget)."""
+    """REAL decode of sequential-baseline (SOF0) AND progressive (SOF2)
+    8-bit JPEGs, 1 or 3 components, subsampling factors in {1, 2}, with
+    stdlib + numpy: marker walk collecting every scan, canonical Huffman
+    entropy decode (progressive spectral selection + successive
+    approximation: DC first/refine, AC first with EOB runs, AC refine
+    with correction bits — T.81 Annex G), dequantize + dezigzag, batched
+    orthonormal IDCT, chroma upsample, BT.601 YCbCr→RGB. Returns None
+    for anything else — arithmetic coding, 12-bit, CMYK, hierarchical —
+    and for images past the 2^20-pixel cap or 64-scan cap (the entropy
+    loop is per-coefficient Python; progressive files touch each
+    coefficient once per scan, so BOTH caps bound executor CPU on
+    untrusted payloads, like the PNG slow-path budget)."""
     if payload[:2] != b"\xff\xd8":
         return None
     n = len(payload)
@@ -353,9 +359,9 @@ def _decode_jpeg_parse(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     htabs: dict[tuple[int, int], _HuffTable] = {}
     restart_interval = 0
     w = h = None
+    progressive = False
     comps: list[dict] = []  # id, hs, vs, tq
-    scan: list[dict] = []   # comp index, dc table, ac table
-    data_start = data_end = None
+    scans: list[dict] = []  # members, ss, se, ah, al, data, htabs, ri
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             return None
@@ -377,7 +383,8 @@ def _decode_jpeg_parse(payload: bytes) -> tuple[int, int, np.ndarray] | None:
                     seg, dtype=np.uint8, count=64, offset=i + 1
                 ).astype(np.int32)
                 i += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8 or nc not in (1, 3) or w == 0 or h == 0:
                 return None
@@ -389,9 +396,9 @@ def _decode_jpeg_parse(payload: bytes) -> tuple[int, int, np.ndarray] | None:
                 if hs not in (1, 2) or vs not in (1, 2):
                     return None
                 comps.append({"id": cid, "hs": hs, "vs": vs, "tq": tq})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline SOF
+            return None  # extended/lossless/arithmetic SOF
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -403,9 +410,12 @@ def _decode_jpeg_parse(payload: bytes) -> tuple[int, int, np.ndarray] | None:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
+            if not comps or len(scans) >= 64:
+                return None  # scan-count budget (untrusted input)
             ns = seg[0]
-            if not comps or ns != len(comps):
-                return None  # non-interleaved multi-scan: not supported
+            if ns < 1 or ns > len(comps):
+                return None
+            members = []
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 idx = next(
@@ -413,9 +423,19 @@ def _decode_jpeg_parse(payload: bytes) -> tuple[int, int, np.ndarray] | None:
                 )
                 if idx is None:
                     return None
-                scan.append({"c": idx, "dc": tt >> 4, "ac": tt & 15})
+                members.append({"c": idx, "dc": tt >> 4, "ac": tt & 15})
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            if not progressive and (ss != 0 or se != 63 or ah or al):
+                return None  # sequential scans are full-band only
+            if progressive and ss > 0 and ns != 1:
+                return None  # T.81: progressive AC scans are single-comp
+            if progressive and ss == 0 and se != 0:
+                return None  # T.81: progressive DC scans carry no AC band
+            if ss > se or se > 63 or al > 13:
+                return None
             data_start = pos + seglen
-            # entropy data runs to the next non-RST marker
+            # entropy data runs to the next non-RST, non-stuffed marker
             j = data_start
             while j + 1 < n:
                 if payload[j] == 0xFF and payload[j + 1] not in (0x00,) and not (
@@ -423,10 +443,17 @@ def _decode_jpeg_parse(payload: bytes) -> tuple[int, int, np.ndarray] | None:
                 ):
                     break
                 j += 1 if payload[j] != 0xFF else 2
-            data_end = j
-            break  # single-scan baseline only
+            scans.append(
+                {
+                    "members": members, "ss": ss, "se": se, "ah": ah,
+                    "al": al, "data": payload[data_start:j],
+                    "htabs": dict(htabs), "ri": restart_interval,
+                }
+            )
+            pos = j
+            continue
         pos += seglen
-    if w is None or data_start is None or not scan:
+    if w is None or not scans:
         return None
 
     try:
@@ -434,76 +461,18 @@ def _decode_jpeg_parse(payload: bytes) -> tuple[int, int, np.ndarray] | None:
         vmax = max(c["vs"] for c in comps)
         mcux = -(-w // (8 * hmax))
         mcuy = -(-h // (8 * vmax))
-        # restart-interval handling: split the entropy stream on RSTn and
-        # decode each segment with fresh DC predictors and bit alignment
-        raw = payload[data_start:data_end]
-        segments = []
-        if restart_interval:
-            parts, cur, i2 = [], bytearray(), 0
-            while i2 < len(raw):
-                bch = raw[i2]
-                if bch == 0xFF and i2 + 1 < len(raw) and 0xD0 <= raw[i2 + 1] <= 0xD7:
-                    parts.append(bytes(cur))
-                    cur = bytearray()
-                    i2 += 2
-                    continue
-                cur.append(bch)
-                i2 += 1
-            parts.append(bytes(cur))
-            segments = parts
-        else:
-            segments = [raw]
-        seg_bits = [
-            np.unpackbits(np.frombuffer(s.replace(b"\xff\x00", b"\xff"), dtype=np.uint8))
-            for s in segments
-        ]
-
-        # per-component coefficient store (MCU-padded plane, in blocks)
+        # per-component coefficient store (MCU-padded plane, zigzag order)
         for c in comps:
             c["bw"] = mcux * c["hs"]
             c["bh"] = mcuy * c["vs"]
+            # non-interleaved scans cover only the component's REAL block
+            # grid (ceil(comp_px/8)), not the MCU-padded one
+            c["cbw"] = -(-(-(-w * c["hs"] // hmax)) // 8)
+            c["cbh"] = -(-(-(-h * c["vs"] // vmax)) // 8)
             c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
 
-        seg_idx, bits, bpos = 0, seg_bits[0], 0
-        preds = [0] * len(comps)
-        mcu_count = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                    seg_idx += 1
-                    if seg_idx >= len(seg_bits):
-                        raise ValueError("jpeg: missing restart segment")
-                    bits, bpos = seg_bits[seg_idx], 0
-                    preds = [0] * len(comps)
-                for sc in scan:
-                    c = comps[sc["c"]]
-                    dct = htabs[(0, sc["dc"])]
-                    act = htabs[(1, sc["ac"])]
-                    for by in range(c["vs"]):
-                        for bx in range(c["hs"]):
-                            blk = np.zeros(64, dtype=np.int32)
-                            t, bpos = _huff_decode(bits, bpos, dct)
-                            diff, bpos = _receive_extend(bits, bpos, t)
-                            preds[sc["c"]] += diff
-                            blk[0] = preds[sc["c"]]
-                            k = 1
-                            while k < 64:
-                                rs, bpos = _huff_decode(bits, bpos, act)
-                                r, s = rs >> 4, rs & 15
-                                if s == 0:
-                                    if r == 15:
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    raise ValueError("jpeg: AC index overrun")
-                                blk[k], bpos = _receive_extend(bits, bpos, s)
-                                k += 1
-                            row = my * c["vs"] + by
-                            col = mx * c["hs"] + bx
-                            c["coef"][row * c["bw"] + col] = blk
-                mcu_count += 1
+        for scan in scans:
+            _jpeg_decode_scan(scan, comps, mcux, mcuy)
 
         # dequantize + dezigzag + batched IDCT per component
         planes = []
@@ -542,12 +511,176 @@ def _decode_jpeg_parse(payload: bytes) -> tuple[int, int, np.ndarray] | None:
         return None
 
 
+def _receive_raw(bits: np.ndarray, pos: int, r: int) -> tuple[int, int]:
+    """r raw bits, MSB first (EOB-run extension / correction bits)."""
+    if r == 0:
+        return 0, pos
+    if pos + r > bits.shape[0]:
+        raise ValueError("jpeg: bitstream exhausted")
+    v = 0
+    for i in range(r):
+        v = (v << 1) | int(bits[pos + i])
+    return v, pos + r
+
+
+def _jpeg_decode_scan(scan: dict, comps: list[dict], mcux: int, mcuy: int) -> None:
+    """Decode ONE scan's entropy data into the components' zigzag-order
+    coefficient stores. Handles every scan kind with one block routine:
+    sequential full-band (Ss=0, Se=63), progressive DC first/refine
+    (Ss=Se=0, Ah=0 / Ah>0) and progressive AC first/refine (Ss≥1,
+    single component, EOB runs + correction bits — the T.81 Annex G
+    successive-approximation algebra). Restart markers split the data
+    into segments; each segment restarts bit alignment, DC predictors
+    and the EOB run."""
+    members = scan["members"]
+    htabs = scan["htabs"]
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    ri = scan["ri"]
+    interleaved = len(members) > 1
+    raw = scan["data"]
+    segments, cur, i2 = [], bytearray(), 0
+    while i2 < len(raw):
+        bch = raw[i2]
+        if bch == 0xFF and i2 + 1 < len(raw) and 0xD0 <= raw[i2 + 1] <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i2 += 2
+            continue
+        cur.append(bch)
+        i2 += 1
+    segments.append(bytes(cur))
+    seg_bits = [
+        np.unpackbits(np.frombuffer(s.replace(b"\xff\x00", b"\xff"), dtype=np.uint8))
+        for s in segments
+    ]
+
+    st = {"seg": 0, "bits": seg_bits[0], "pos": 0,
+          "preds": [0] * len(members), "eobrun": 0}
+
+    def _restart() -> None:
+        st["seg"] += 1
+        if st["seg"] >= len(seg_bits):
+            raise ValueError("jpeg: missing restart segment")
+        st["bits"], st["pos"] = seg_bits[st["seg"]], 0
+        st["preds"] = [0] * len(members)
+        st["eobrun"] = 0
+
+    p1 = 1 << al
+
+    def _decode_block(mi: int, blk: np.ndarray) -> None:
+        bits, pos = st["bits"], st["pos"]
+        if ss == 0:
+            if ah == 0:
+                t, pos = _huff_decode(bits, pos, htabs[(0, members[mi]["dc"])])
+                diff, pos = _receive_extend(bits, pos, t)
+                st["preds"][mi] += diff
+                blk[0] = st["preds"][mi] << al
+            else:
+                b, pos = _receive_raw(bits, pos, 1)
+                if b:
+                    # append bit Al of the two's-complement DC value —
+                    # Python | on negative ints IS two's complement
+                    blk[0] = int(blk[0]) | p1
+        if se >= 1:
+            act = htabs[(1, members[mi]["ac"])]
+            k = max(ss, 1)
+            if ah == 0:  # first pass (sequential AC is this with Al=0)
+                if st["eobrun"] > 0:
+                    st["eobrun"] -= 1
+                else:
+                    while k <= se:
+                        rs, pos = _huff_decode(bits, pos, act)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r < 15:
+                                eb, pos = _receive_raw(bits, pos, r)
+                                # EOB run: this block is done, plus
+                                # (2^r - 1 + eb) whole following blocks
+                                st["eobrun"] = (1 << r) - 1 + eb
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > se:
+                            raise ValueError("jpeg: AC index overrun")
+                        v, pos = _receive_extend(bits, pos, s)
+                        blk[k] = v << al
+                        k += 1
+            else:  # refinement pass: correction bits (T.81 G.7.2)
+                if st["eobrun"] == 0:
+                    while k <= se:
+                        rs, pos = _huff_decode(bits, pos, act)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r < 15:
+                                eb, pos = _receive_raw(bits, pos, r)
+                                # refine EOB run INCLUDES this block's
+                                # correction tail (handled below)
+                                st["eobrun"] = (1 << r) + eb
+                                break
+                            newval = 0  # ZRL: 16 zero-history coeffs
+                        else:
+                            if s != 1:
+                                raise ValueError("jpeg: bad refine size")
+                            b, pos = _receive_raw(bits, pos, 1)
+                            newval = p1 if b else -p1
+                        # advance past r zero-HISTORY coefficients,
+                        # emitting correction bits for nonzero ones
+                        while k <= se:
+                            if blk[k] != 0:
+                                b, pos = _receive_raw(bits, pos, 1)
+                                if b and (int(blk[k]) & p1) == 0:
+                                    blk[k] += p1 if blk[k] > 0 else -p1
+                            else:
+                                if r == 0:
+                                    if s:
+                                        blk[k] = newval
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                if st["eobrun"] > 0:
+                    while k <= se:  # correction tail through Se
+                        if blk[k] != 0:
+                            b, pos = _receive_raw(bits, pos, 1)
+                            if b and (int(blk[k]) & p1) == 0:
+                                blk[k] += p1 if blk[k] > 0 else -p1
+                        k += 1
+                    st["eobrun"] -= 1
+        st["pos"] = pos
+
+    if interleaved:
+        unit_count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if ri and unit_count and unit_count % ri == 0:
+                    _restart()
+                for mi, m in enumerate(members):
+                    c = comps[m["c"]]
+                    for by in range(c["vs"]):
+                        for bx in range(c["hs"]):
+                            row = my * c["vs"] + by
+                            col = mx * c["hs"] + bx
+                            _decode_block(mi, c["coef"][row * c["bw"] + col])
+                unit_count += 1
+    else:
+        c = comps[members[0]["c"]]
+        unit_count = 0
+        for row in range(c["cbh"]):
+            for col in range(c["cbw"]):
+                if ri and unit_count and unit_count % ri == 0:
+                    _restart()
+                _decode_block(0, c["coef"][row * c["bw"] + col])
+                unit_count += 1
+
+
 def _header_dims(payload: bytes) -> tuple[int, int] | None:
     """TRUE dimensions for formats whose pixels stay stubbed: WEBP
-    (VP8 lossy / VP8L lossless / VP8X extended) and progressive JPEG
-    (any SOFn frame header). The reference only ever sniffs these
-    payloads; real dims already exceed parity — pixels remain the
-    labeled deterministic stub."""
+    (VP8 lossy / VP8L lossless / VP8X extended) and the JPEG variants
+    ``_decode_jpeg`` declines (arithmetic-coded, 12-bit, CMYK,
+    hierarchical, over-budget — any SOFn frame header). The reference
+    only ever sniffs these payloads; real dims already exceed parity —
+    pixels remain the labeled deterministic stub."""
     try:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
             tag = payload[12:16]
@@ -585,10 +718,10 @@ def _header_dims(payload: bytes) -> tuple[int, int] | None:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Dispatch: real BMP/PPM/PNG/baseline-JPEG decode when the bytes are
-    one; WEBP and progressive-JPEG get TRUE header dimensions with
-    stubbed pixel features; fully deterministic stub otherwise (garbage,
-    truncation)."""
+    """Dispatch: real BMP/PPM/PNG/JPEG (baseline + progressive) decode
+    when the bytes are one; WEBP and declined JPEG variants get TRUE
+    header dimensions with stubbed pixel features; fully deterministic
+    stub otherwise (garbage, truncation)."""
     out = _decode_bmp(payload)
     if out is None:
         out = _decode_ppm(payload)

@@ -502,7 +502,9 @@ def test_jpeg_rejects_progressive_and_oversize():
 
     img = np.full((8, 8), 99.0)
     good = bytearray(_make_jpeg([(img, 1, 1)], 8, 8))
-    # flip SOF0 (0xC0) to SOF2 progressive (0xC2): must decline to stub
+    # flip SOF0 (0xC0) to SOF2 (0xC2): the sequential full-band scan
+    # (Ss=0, Se=63) is ILLEGAL inside a progressive frame (T.81: DC
+    # scans carry no AC band) — the scan-header validation must decline
     i = bytes(good).find(b"\xff\xc0")
     prog = bytes(good[:i]) + b"\xff\xc2" + bytes(good[i + 2 :])
     assert _decode_jpeg(prog) is None
@@ -584,3 +586,234 @@ def test_header_dims_webp_and_progressive_jpeg():
     w, h, feat = decode_image(prog)
     assert (w, h) == (55, 77)
     assert np.array_equal(feat, _decode_image_stub(prog)[2])
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (SOF2): a test-side encoder emitting spectral-selection +
+# successive-approximation scans (DC first/refine, AC first/refine with
+# positionally-attached correction bits) feeds the production decoder
+# ---------------------------------------------------------------------------
+
+
+def _make_progressive_jpeg(planes, w, h):
+    """Encode an SOF2 progressive JPEG from full-resolution component
+    planes [(plane_2d, hs, vs), ...] with the same all-ones quant table
+    and identity Huffman codes as ``_make_jpeg``, in six scans:
+    interleaved DC first (Al=1), DC refine (Al=0), then per component
+    AC first (Ss=1..63, Al=1) and AC refine (Al=0). Point transforms
+    follow T.81: DC uses arithmetic shift, AC truncates toward zero —
+    so first-pass value ×2 plus the refinement bit reconstructs every
+    coefficient exactly and the decoded pixels must equal the baseline
+    encoding's."""
+    import struct as st
+
+    C = np.array(
+        [
+            [
+                (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    hmax = max(hs for _, hs, _ in planes)
+    vmax = max(vs for _, _, vs in planes)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    comps = []
+    for plane, hs, vs in planes:
+        ph, pw = plane.shape
+        fy, fx = vmax // vs, hmax // hs
+        sub = plane[: ph - ph % fy or ph, : pw - pw % fx or pw]
+        sub = sub.reshape(sub.shape[0] // fy, fy, sub.shape[1] // fx, fx).mean(
+            axis=(1, 3)
+        )
+        bw, bh = mcux * hs * 8, mcuy * vs * 8
+        padded = np.zeros((bh, bw))
+        padded[: sub.shape[0], : sub.shape[1]] = sub
+        if sub.shape[0] < bh:
+            padded[sub.shape[0] :, : sub.shape[1]] = sub[-1:, :]
+        if sub.shape[1] < bw:
+            padded[:, sub.shape[1] :] = padded[:, sub.shape[1] - 1 : sub.shape[1]]
+        # zigzag coefficient blocks over the full MCU grid
+        zz = {}
+        for by in range(mcuy * vs):
+            for bx in range(mcux * hs):
+                block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = np.round(C @ block @ C.T).astype(int)
+                zz[(by, bx)] = [int(coef.flat[_ZZ[k]]) for k in range(64)]
+        cw = -(-(-(-w * hs // hmax)) // 8)   # real (non-padded) block cols
+        ch = -(-(-(-h * vs // vmax)) // 8)
+        comps.append({"hs": hs, "vs": vs, "zz": zz, "cbw": cw, "cbh": ch})
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + st.pack(">H", len(payload) + 2) + payload
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = bytes([8]) + st.pack(">HH", h, w) + bytes([len(comps)])
+    for i, c in enumerate(comps):
+        sof += bytes([i + 1, (c["hs"] << 4) | c["vs"], 0])
+    out += seg(0xC2, sof)  # SOF2 progressive
+    dc_counts = [0] * 16
+    dc_counts[3] = 12
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(range(12)))
+    ac_counts = [0] * 16
+    ac_counts[8] = 255
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(range(255)))
+
+    def sos_header(member_ids, ss, se, ah, al):
+        p = bytes([len(member_ids)])
+        for cid in member_ids:
+            p += bytes([cid, 0x00])
+        return seg(0xDA, p + bytes([ss, se, (ah << 4) | al]))
+
+    def mcu_block_order():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, c in enumerate(comps):
+                    for by in range(c["vs"]):
+                        for bx in range(c["hs"]):
+                            yield ci, my * c["vs"] + by, mx * c["hs"] + bx
+
+    # scan 1: DC first, interleaved, Al=1 (DC point transform = arithmetic
+    # shift, so (v>>1)<<1 | refine-bit reconstructs exactly)
+    bw_ = _BitWriter()
+    preds = [0] * len(comps)
+    for ci, by, bx in mcu_block_order():
+        v = comps[ci]["zz"][(by, bx)][0] >> 1
+        s, bits = _cat_bits(v - preds[ci])
+        preds[ci] = v
+        bw_.put(s, 4)
+        if s:
+            bw_.put(bits, s)
+    out += sos_header(range(1, len(comps) + 1), 0, 0, 0, 1) + bw_.flush()
+
+    # scan 2: DC refine, Ah=1 Al=0 — one raw bit per block
+    bw_ = _BitWriter()
+    for ci, by, bx in mcu_block_order():
+        bw_.put(comps[ci]["zz"][(by, bx)][0] & 1, 1)
+    out += sos_header(range(1, len(comps) + 1), 0, 0, 1, 0) + bw_.flush()
+
+    for ci, c in enumerate(comps):
+        # AC first: Ss=1..63, Al=1, values truncated toward zero; one EOB
+        # (r=0) per block with a nonzero tail
+        bw_ = _BitWriter()
+        for by in range(c["cbh"]):
+            for bx in range(c["cbw"]):
+                zz = c["zz"][(by, bx)]
+                t = [int(v / 2) for v in zz]  # trunc toward zero
+                last = max((k for k in range(1, 64) if t[k]), default=0)
+                run = 0
+                for k in range(1, 64):
+                    if k > last:
+                        bw_.put(0x00, 9)  # EOB
+                        break
+                    if t[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        bw_.put(0xF0, 9)
+                        run -= 16
+                    s, bits = _cat_bits(t[k])
+                    bw_.put((run << 4) | s, 9)
+                    bw_.put(bits, s)
+                    run = 0
+        out += sos_header([ci + 1], 1, 63, 0, 1) + bw_.flush()
+
+    for ci, c in enumerate(comps):
+        # AC refine: Ah=1 Al=0. Correction bits attach POSITIONALLY to the
+        # symbol whose zero-run span covers them (what the T.81 decoder
+        # consumes while advancing); newly-nonzero = |coef| == 1.
+        bw_ = _BitWriter()
+        for by in range(c["cbh"]):
+            for bx in range(c["cbw"]):
+                zz = c["zz"][(by, bx)]
+                pending = []  # ("z",) zero-history | ("h", bit) history
+                for k in range(1, 64):
+                    a = abs(zz[k])
+                    if a == 0:
+                        pending.append(("z",))
+                    elif a > 1:
+                        pending.append(("h", a & 1))
+                    else:  # newly nonzero at this precision
+                        nzeros = sum(1 for e in pending if e[0] == "z")
+                        while nzeros > 15:
+                            bw_.put(0xF0, 9)  # ZRL: spans 16 zero slots
+                            zcnt = 0
+                            while zcnt < 16:
+                                e = pending.pop(0)
+                                if e[0] == "z":
+                                    zcnt += 1
+                                else:
+                                    bw_.put(e[1], 1)
+                            nzeros -= 16
+                        bw_.put((nzeros << 4) | 1, 9)
+                        bw_.put(1 if zz[k] > 0 else 0, 1)
+                        for e in pending:  # bits the advance pass consumes
+                            if e[0] == "h":
+                                bw_.put(e[1], 1)
+                        pending = []
+                if pending:
+                    bw_.put(0x00, 9)  # EOB: correction tail to Se
+                    for e in pending:
+                        if e[0] == "h":
+                            bw_.put(e[1], 1)
+        out += sos_header([ci + 1], 1, 63, 1, 0) + bw_.flush()
+
+    return out + b"\xff\xd9"
+
+
+def test_progressive_jpeg_grayscale_equals_baseline():
+    """Six-scan progressive encode of the same plane decodes to exactly
+    the pixels (feature vector) of the baseline encoding — every DC/AC
+    coefficient reconstructs bit-exactly through first+refine."""
+    from simplecommoncrawlextractor_spark.operators.multimodal import _decode_jpeg
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(16, 24)).astype(np.float64)
+    base = _decode_jpeg(_make_jpeg([(img, 1, 1)], 24, 16))
+    prog = _decode_jpeg(_make_progressive_jpeg([(img, 1, 1)], 24, 16))
+    assert base is not None and prog is not None
+    assert (prog[0], prog[1]) == (24, 16)
+    assert np.array_equal(np.asarray(base[2]), np.asarray(prog[2]))
+
+
+def test_progressive_jpeg_420_subsampled_color():
+    """4:2:0 progressive: interleaved DC scans over the MCU grid,
+    non-interleaved AC scans over each component's REAL block grid
+    (luma 3 block-cols vs the 4-wide padded store at w=24 — pins the
+    cbw/cbh traversal)."""
+    from simplecommoncrawlextractor_spark.operators.multimodal import _decode_jpeg
+
+    rng = np.random.default_rng(22)
+    y = rng.integers(40, 216, size=(16, 24)).astype(np.float64)
+    cb = np.full((16, 24), 100.0)
+    cr = np.full((16, 24), 160.0)
+    planes = [(y, 2, 2), (cb, 1, 1), (cr, 1, 1)]
+    out = _decode_jpeg(_make_progressive_jpeg(planes, 24, 16))
+    assert out is not None
+    w, h, feat = out
+    assert (w, h) == (24, 16)
+    yv, cbv, crv = y.mean(), 100.0, 160.0
+    r = yv + 1.402 * (crv - 128)
+    g = yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128)
+    b = yv + 1.772 * (cbv - 128)
+    want = np.clip(np.array([r, g, b]), 0, 255) / 255.0
+    for chn in range(3):
+        assert abs(float(feat[chn]) - want[chn]) < 0.02, (chn, feat[:3], want)
+
+
+def test_progressive_jpeg_sparse_blocks_exercise_zrl_and_eob_refine():
+    """Sparse high-frequency content: long zero runs force ZRL spans and
+    EOB correction tails through both AC passes."""
+    from simplecommoncrawlextractor_spark.operators.multimodal import _decode_jpeg
+
+    img = np.full((8, 16), 128.0)
+    img[7, 7] = 131.0   # one high-frequency spike per block
+    img[3, 12] = 125.0
+    base = _decode_jpeg(_make_jpeg([(img, 1, 1)], 16, 8))
+    prog = _decode_jpeg(_make_progressive_jpeg([(img, 1, 1)], 16, 8))
+    assert base is not None and prog is not None
+    assert np.array_equal(np.asarray(base[2]), np.asarray(prog[2]))
