@@ -334,7 +334,7 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     except."""
     try:
         return _decode_jpeg_parse(payload)
-    except (ValueError, IndexError, KeyError, struct.error):
+    except (ValueError, IndexError, KeyError, OverflowError, struct.error):
         return None
 
 
@@ -455,6 +455,14 @@ def _decode_jpeg_parse(payload: bytes) -> tuple[int, int, np.ndarray] | None:
         pos += seglen
     if w is None or not scans:
         return None
+    if len(scans) * w * h > 1 << 24:
+        # COMBINED budget: the entropy loop touches up to w*h coefficients
+        # per scan, so scans×pixels is the real CPU bound on untrusted
+        # payloads — the per-image pixel cap alone would let a 64-scan
+        # crafted file cost 64× the sequential budget. 2^24 admits a
+        # typical ~10-scan megapixel progressive photo and rejects
+        # adversarial scan-stuffing.
+        return None
 
     try:
         hmax = max(c["hs"] for c in comps)
@@ -467,8 +475,10 @@ def _decode_jpeg_parse(payload: bytes) -> tuple[int, int, np.ndarray] | None:
             c["bh"] = mcuy * c["vs"]
             # non-interleaved scans cover only the component's REAL block
             # grid (ceil(comp_px/8)), not the MCU-padded one
-            c["cbw"] = -(-(-(-w * c["hs"] // hmax)) // 8)
-            c["cbh"] = -(-(-(-h * c["vs"] // vmax)) // 8)
+            cw_px = -(-w * c["hs"] // hmax)   # ceil(w·hs / hmax)
+            ch_px = -(-h * c["vs"] // vmax)
+            c["cbw"] = -(-cw_px // 8)
+            c["cbh"] = -(-ch_px // 8)
             c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
 
         for scan in scans:
@@ -507,7 +517,7 @@ def _decode_jpeg_parse(payload: bytes) -> tuple[int, int, np.ndarray] | None:
             rgb = np.stack([r, g, b], axis=-1)
         px = np.clip(np.round(rgb), 0, 255).astype(np.uint8).reshape(-1, 3)
         return w, h, _pixel_features(px, w, h)
-    except (ValueError, IndexError, KeyError, struct.error):
+    except (ValueError, IndexError, KeyError, OverflowError, struct.error):
         return None
 
 
@@ -572,6 +582,12 @@ def _jpeg_decode_scan(scan: dict, comps: list[dict], mcux: int, mcuy: int) -> No
         if ss == 0:
             if ah == 0:
                 t, pos = _huff_decode(bits, pos, htabs[(0, members[mi]["dc"])])
+                if t > 15:
+                    # DHT symbols are raw untrusted bytes; an 8-bit frame
+                    # caps the DC size category at 11 — anything bigger
+                    # would shift preds past int32 (numpy wraps on 1.x,
+                    # raises OverflowError on 2.x)
+                    raise ValueError("jpeg: DC size category out of range")
                 diff, pos = _receive_extend(bits, pos, t)
                 st["preds"][mi] += diff
                 blk[0] = st["preds"][mi] << al

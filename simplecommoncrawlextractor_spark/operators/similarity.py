@@ -394,6 +394,12 @@ def _assign(vecs: DataFrame, centroid_rows: list[tuple[int, list[int]]]) -> Data
     previous zip_with/aggregate plan produced. Deterministic tiebreak:
     ``centroid_rows`` is sorted by cluster id and argmin returns the
     first minimum, so the smallest cluster id wins equal distances."""
+    if not centroid_rows:
+        # empty input table → no centroids; assignment is empty, not a
+        # numpy AxisError at plan-construction time
+        return vecs.limit(0).select(
+            "id", F.lit(0).cast("long").alias("cluster"), "q"
+        )
     clusters = np.array([c for c, _ in centroid_rows], dtype=np.int64)
     assert (np.diff(clusters) > 0).all() if len(clusters) > 1 else True
     C = np.array([v for _, v in centroid_rows], dtype=np.float64)  # K×dim

@@ -110,7 +110,14 @@ class CrawlScheduler:
                 f"seen_backend must be one of {sorted(backends)}, "
                 f"got {seen_backend!r}"
             )
-        pinned = self.store.manifest()["meta"].get("seen_backend")
+        m = self.store.manifest()
+        pinned = m["meta"].get("seen_backend")
+        if pinned is None and "url_seen" in m["tables"]:
+            # legacy store bootstrapped before the pin existed: every
+            # pre-pin store wrote bloom blobs, so the missing key MEANS
+            # bloom — without this a cuckoo resume over bloom bytes
+            # passes the guard and dies mid-round on the schema mismatch
+            pinned = "bloom"
         if pinned is not None and pinned != seen_backend:
             raise ValueError(
                 f"state store at {store.root} was bootstrapped with "

@@ -643,8 +643,10 @@ def _make_progressive_jpeg(planes, w, h):
                 block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
                 coef = np.round(C @ block @ C.T).astype(int)
                 zz[(by, bx)] = [int(coef.flat[_ZZ[k]]) for k in range(64)]
-        cw = -(-(-(-w * hs // hmax)) // 8)   # real (non-padded) block cols
-        ch = -(-(-(-h * vs // vmax)) // 8)
+        cw_px = -(-w * hs // hmax)           # ceil(w·hs / hmax)
+        ch_px = -(-h * vs // vmax)
+        cw = -(-cw_px // 8)                  # real (non-padded) block cols
+        ch = -(-ch_px // 8)
         comps.append({"hs": hs, "vs": vs, "zz": zz, "cbw": cw, "cbh": ch})
 
     def seg(marker, payload):
@@ -817,3 +819,57 @@ def test_progressive_jpeg_sparse_blocks_exercise_zrl_and_eob_refine():
     prog = _decode_jpeg(_make_progressive_jpeg([(img, 1, 1)], 16, 8))
     assert base is not None and prog is not None
     assert np.array_equal(np.asarray(base[2]), np.asarray(prog[2]))
+
+
+def test_jpeg_hostile_dc_size_category_declines():
+    """A DHT whose DC symbol is 62 (raw untrusted byte) would shift the
+    predictor past int32 — numpy wraps on 1.x and raises OverflowError on
+    2.x, escaping the old except tuple. The decoder must decline, never
+    crash (r5 review finding)."""
+    import struct as st
+
+    from simplecommoncrawlextractor_spark.operators.multimodal import _decode_jpeg
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + st.pack(">H", len(payload) + 2) + payload
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(0xC0, bytes([8]) + st.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    dc_counts = [0] * 16
+    dc_counts[3] = 1  # one 4-bit code: 0b0000 -> symbol 62
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes([62]))
+    ac_counts = [0] * 16
+    ac_counts[8] = 255
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(range(255)))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # entropy: DC code 0000 then 62 magnitude bits of 1s
+    out += b"\x0f" + b"\xff\x00" * 8 + b"\xff\xd9"
+    assert _decode_jpeg(out) is None
+
+
+def test_jpeg_scan_stuffing_budget_declines():
+    """scans x pixels is the real CPU bound on untrusted progressive
+    payloads: 17 scans at 2^20 pixels crosses the 2^24 combined budget
+    and must be rejected up front (r5 review finding)."""
+    import time
+
+    import struct as st
+
+    from simplecommoncrawlextractor_spark.operators.multimodal import _decode_jpeg
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + st.pack(">H", len(payload) + 2) + payload
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(0xC2, bytes([8]) + st.pack(">HH", 1024, 1024) + bytes([1, 1, 0x11, 0]))
+    dc_counts = [0] * 16
+    dc_counts[3] = 12
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(range(12)))
+    for _ in range(17):  # DC-first scans, empty entropy segments
+        out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+    out += b"\xff\xd9"
+    t0 = time.time()
+    assert _decode_jpeg(out) is None
+    assert time.time() - t0 < 1.0

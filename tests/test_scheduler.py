@@ -290,3 +290,28 @@ def test_cuckoo_merge_delta_grows_overfull_bucket(spark):
         seen_after.select("url_hash", F.lit("u").alias("url")),
         seen_after, delta,
     ).count() == 0
+
+
+def test_seen_backend_legacy_store_defaults_to_bloom(spark, tmp_path):
+    """A store bootstrapped before the manifest pin existed (no
+    'seen_backend' meta key) holds bloom blobs by construction — a cuckoo
+    resume must be refused up front, and a bloom resume accepted (r5
+    review finding)."""
+    import json
+    import os
+
+    import pytest
+
+    root = str(tmp_path / "legacy")
+    _run(spark, root, rounds=1)  # default bloom; writes the pin
+    # simulate a pre-r5 manifest: strip the pin from current + snapshot logs
+    for fn in os.listdir(root):
+        if fn.startswith("manifest") and fn.endswith(".json"):
+            p = os.path.join(root, fn)
+            m = json.load(open(p))
+            m["meta"].pop("seen_backend", None)
+            json.dump(m, open(p, "w"))
+    with pytest.raises(ValueError, match="bloom"):
+        CrawlScheduler(spark, StateStore(root), n_buckets=8, seen_backend="cuckoo")
+    sched = CrawlScheduler(spark, StateStore(root), n_buckets=8)
+    sched.step()  # bloom resume still works

@@ -238,3 +238,17 @@ def test_semantic_dedup_representatives_keeps_one_per_group(spark, emb):
     }
     assert got == expected
     assert len(pairs) > 0
+
+
+def test_kmeans_and_semantic_dedup_empty_input(spark):
+    """Empty embeddings table: kmeans/semantic dedup return empty frames
+    instead of raising at plan construction (r5 review finding: the
+    literal-centroid _assign hit a numpy AxisError on zero centroids)."""
+    from simplecommoncrawlextractor_spark.operators.similarity import (
+        kmeans_clusters,
+        semantic_near_dup_pairs,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert kmeans_clusters(empty).count() == 0
+    assert semantic_near_dup_pairs(empty).count() == 0
