@@ -331,8 +331,7 @@ def _inv_palette(a: np.ndarray, out_w: int, h: int, wb: int, palette: list[int])
         idx = ((g[:, :, None] >> shifts[None, None, :]) & ((1 << bits) - 1)).reshape(
             h, packed_w * per
         )[:, :out_w]
-    idx = np.minimum(idx, npal)  # out-of-range index -> transparent black
-    idx = np.where(idx == npal, npal, idx)
+    idx = np.minimum(idx, npal)  # out-of-range index -> sentinel (0x0)
     return pal[idx].reshape(-1)
 
 
@@ -357,7 +356,9 @@ def _inv_predictor(a: np.ndarray, w: int, h: int, sb: int, data: list[int]) -> n
         out = 0
         for sh in (0, 8, 16, 24):
             ac = (av >> sh) & 0xFF
-            v = ac + (ac - ((tl >> sh) & 0xFF)) // 2
+            d = ac - ((tl >> sh) & 0xFF)
+            # C-style truncation toward zero, not Python floor division
+            v = ac + (d // 2 if d >= 0 else -((-d) // 2))
             out |= (0 if v < 0 else 255 if v > 255 else v) << sh
         return out
 

@@ -11,9 +11,12 @@ progressive (SOF2: spectral selection + successive approximation, DC
 first/refine, AC first with EOB runs, AC refine with correction bits)
 through one multi-scan decoder (``_decode_jpeg``: canonical Huffman,
 dequantize, batched IDCT, 4:2:0/4:2:2/4:4:4 chroma upsample, restart
-markers). WEBP reports TRUE header dimensions (``_header_dims``:
-VP8 / VP8L / VP8X) while its pixel features remain the deterministic
-fake behind ``_decode_image_stub`` (this container ships no image
+markers), and lossless WebP (VP8L via ``_vp8l.decode_vp8l_chunk``:
+canonical prefix codes, LZ77 + color cache, meta prefix groups, all
+four inverse transforms). Lossy WebP (VP8) reports TRUE header
+dimensions (``_header_dims``) while its pixel features remain the
+deterministic fake behind ``_decode_image_stub`` (a boolean arithmetic
+decoder + loop filter is out of scope for a container with no image
 libraries) — swap in PIL/libav by replacing that one function. Batch shape: mapInPandas receives an iterator of Arrow
 batches; we yield one output frame per input frame to keep memory bounded
 regardless of payload size — the pattern that matters at 100 TB, where a
@@ -733,11 +736,39 @@ def _header_dims(payload: bytes) -> tuple[int, int] | None:
     return None
 
 
+def _decode_webp(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """REAL decode of a lossless WebP: walks the RIFF chunks (handles
+    both a bare VP8L file and a VP8X extended container wrapping one)
+    and hands the VP8L chunk to ``_vp8l.decode_vp8l_chunk``. Lossy VP8
+    has no chunk here (or the decode declines) → None, and the caller
+    falls back to TRUE header dims + stub features."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return None
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        data = payload[pos + 8 : pos + 8 + size]
+        if len(data) < size:
+            return None
+        if tag == b"VP8L":
+            from ._vp8l import decode_vp8l_chunk
+
+            out = decode_vp8l_chunk(bytes(data))
+            if out is None:
+                return None
+            w, h, rgb = out
+            return w, h, _pixel_features(rgb, w, h)
+        pos += 8 + size + (size & 1)
+    return None
+
+
 def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Dispatch: real BMP/PPM/PNG/JPEG (baseline + progressive) decode
-    when the bytes are one; WEBP and declined JPEG variants get TRUE
-    header dimensions with stubbed pixel features; fully deterministic
-    stub otherwise (garbage, truncation)."""
+    """Dispatch: real BMP/PPM/PNG/JPEG (baseline + progressive) /
+    lossless-WebP (VP8L) decode when the bytes are one; lossy WebP and
+    declined JPEG variants get TRUE header dimensions with stubbed
+    pixel features; fully deterministic stub otherwise (garbage,
+    truncation)."""
     out = _decode_bmp(payload)
     if out is None:
         out = _decode_ppm(payload)
@@ -745,6 +776,8 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
         out = _decode_png(payload)
     if out is None:
         out = _decode_jpeg(payload)
+    if out is None:
+        out = _decode_webp(payload)
     if out is not None:
         return out
     dims = _header_dims(payload)
