@@ -39,6 +39,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 import time
 from typing import Iterable
 
@@ -344,6 +346,61 @@ class StateStore:
             json.dump(m, f, indent=1)
         os.replace(tmp, self._manifest_path())
         return int(m["snapshot"])
+
+    # -- retention --------------------------------------------------------
+    _PART_RE = re.compile(r"^[vdum]\d+$")
+
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than: float | None = None
+    ) -> dict:
+        """Iceberg's expire_snapshots + orphan-file cleanup: drop
+        historical ``manifest-{sid}.json`` entries beyond the retention
+        policy, then delete every table part directory that no retained
+        manifest references. Without this, a 10^10-URL crawl's state dir
+        grows O(rounds × state) — with it, disk is bounded by
+        ``keep_last`` resolvable snapshots (append deltas shared by the
+        current manifest are always retained, so history stays O(crawl)
+        only where the data itself is history, e.g. fetch_log).
+
+        ``keep_last``: retain that many most-recent snapshot ids (the
+        current snapshot is always retained regardless). ``older_than``:
+        additionally retain any snapshot committed at/after this unix
+        time. Returns {"expired": [...], "removed": [...part dirs...]}.
+        """
+        cur = self.snapshot_id()
+        sids = self.snapshots()
+        keep = set(sids[-keep_last:]) if keep_last > 0 else set()
+        keep.add(cur)
+        if older_than is not None:
+            for s in sids:
+                m = self.manifest(s)
+                if m.get("meta", {}).get("committed_at", 0.0) >= older_than:
+                    keep.add(s)
+        expired = [s for s in sids if s not in keep]
+        for s in expired:
+            os.remove(self._manifest_path(s))
+        referenced: set[str] = set()
+        for m in [self.manifest()] + [self.manifest(s) for s in self.snapshots()]:
+            for rel in m["tables"].values():
+                if isinstance(rel, dict):
+                    referenced.update(rel["parts"])
+                elif isinstance(rel, list):
+                    referenced.update(rel)
+                else:
+                    referenced.add(rel)
+        removed = []
+        for table in os.listdir(self.root):
+            tdir = os.path.join(self.root, table)
+            if not os.path.isdir(tdir):
+                continue
+            for part in os.listdir(tdir):
+                if not self._PART_RE.match(part):
+                    continue  # never touch anything we didn't name
+                rel = f"{table}/{part}"
+                if rel not in referenced:
+                    shutil.rmtree(os.path.join(tdir, part), ignore_errors=True)
+                    removed.append(rel)
+        return {"expired": expired, "removed": sorted(removed)}
 
     # -- read -------------------------------------------------------------
     def read(

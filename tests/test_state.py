@@ -5,6 +5,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from simplecommoncrawlextractor_spark.plans.state import (
@@ -439,3 +440,93 @@ def test_cuckoo_blob_invariants_property():
             assert _ck_probe(keep, t3, n_ck).all()
 
     check()
+
+
+def test_expire_snapshots_retention_and_orphan_gc(spark, tmp_path):
+    """Iceberg expire_snapshots semantics: old manifests drop, the
+    current snapshot always survives, append deltas shared by the
+    current manifest are never GC'd, and unreferenced rewrite versions
+    are deleted from disk."""
+    import os
+
+    from simplecommoncrawlextractor_spark.plans import CrawlScheduler
+    from simplecommoncrawlextractor_spark.plans.scheduler import FETCH_LOG_SCHEMA
+    from simplecommoncrawlextractor_spark.sources import seed_frontier
+
+    root = str(tmp_path / "exp")
+    store = StateStore(root)
+    sched = CrawlScheduler(spark, store, host_budget=4, salt_k=4, n_buckets=8)
+    sched.bootstrap(seed_frontier(spark, n=150))
+    for _ in range(3):
+        sched.step()
+    order_before = [tuple(r) for r in sched.crawl_order().collect()]
+    sids = store.snapshots()
+    assert len(sids) == 4
+    old_frontiers = {
+        p for p in os.listdir(os.path.join(root, "frontier"))
+    }
+    assert len(old_frontiers) == 4  # one rewrite version per commit
+
+    out = store.expire_snapshots(keep_last=1)
+    assert out["expired"] == sids[:-1]
+    assert store.snapshots() == [sids[-1]]
+    # current state unaffected — crawl order identical
+    assert [tuple(r) for r in sched.crawl_order().collect()] == order_before
+    # time travel to an expired snapshot now raises
+    with pytest.raises(FileNotFoundError):
+        store.manifest(sids[0])
+    # rewrite-table history physically gone, current version retained
+    left = set(os.listdir(os.path.join(root, "frontier")))
+    assert len(left) == 1 and left < old_frontiers
+    # append deltas from EVERY round survive (current manifest unions them)
+    assert (
+        store.read(spark, "fetch_log", FETCH_LOG_SCHEMA)
+        .select("round").distinct().count() == 3
+    )
+    # removed rels all named like table/v{sid} and no longer on disk
+    assert out["removed"] and all(
+        not os.path.exists(os.path.join(root, rel)) for rel in out["removed"]
+    )
+
+
+def test_expire_snapshots_respects_rollback_current(spark, tmp_path):
+    """After rollback the CURRENT snapshot is an old sid; expiry must
+    retain it (and its data) even with keep_last=1 pointing elsewhere."""
+    from simplecommoncrawlextractor_spark.plans import CrawlScheduler
+    from simplecommoncrawlextractor_spark.sources import seed_frontier
+
+    root = str(tmp_path / "rbx")
+    store = StateStore(root)
+    sched = CrawlScheduler(spark, store, host_budget=4, salt_k=4, n_buckets=8)
+    sched.bootstrap(seed_frontier(spark, n=120))
+    sched.step()
+    mid = store.snapshot_id()
+    sched.step()
+    last = store.snapshot_id()
+    store.rollback(mid)
+    out = store.expire_snapshots(keep_last=1)
+    # keep_last=1 keeps the newest sid; the rolled-back current also stays
+    assert set(store.snapshots()) == {mid, last}
+    assert mid not in out["expired"]
+    # the rolled-back state still reads and can continue crawling
+    sched2 = CrawlScheduler(spark, store, host_budget=4, salt_k=4, n_buckets=8)
+    assert sched2.round_no() == 1
+    sched2.step()
+    assert sched2.crawl_order().count() > 0
+
+
+def test_expire_snapshots_older_than_retains_recent(spark, tmp_path):
+    """older_than keeps every snapshot committed at/after the cutoff even
+    beyond keep_last."""
+    import pyspark.sql.functions as SF
+
+    store = StateStore(str(tmp_path / "ot"))
+    df = spark.range(3).select(
+        SF.col("id").cast("int").alias("bucket"), SF.col("id").alias("url_hash")
+    )
+    for _ in range(3):
+        store.commit(tables={"t": df})
+    cutoff = store.manifest(store.snapshots()[1])["meta"]["committed_at"]
+    out = store.expire_snapshots(keep_last=1, older_than=cutoff)
+    assert out["expired"] == [store.snapshots()[0] - 1] or out["expired"] == []
+    assert set(store.snapshots()) >= {2, 3}
