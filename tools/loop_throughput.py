@@ -1,0 +1,88 @@
+"""Iterative-loop throughput (urls scheduled/sec) — the checked-in
+version of the per-round methodology used since round 1: 3M seeds,
+60k hosts, politeness budget 50, 2 scheduler rounds (≈2.1M urls
+scheduled per round — the round shape a 10^10-URL crawl actually has).
+
+Prints one LOOP_RESULT JSON line with urls/sec, the scheduled-URL count
+(byte-identity continuity check: 4,224,809 at the standard setting for
+every round since r1), and the 1-min load before/after.
+
+Usage:
+    python tools/loop_throughput.py [backend] [n_seeds] [rounds]
+(defaults: bloom 3000000 2; runs on local[8] like every prior round)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, "ccspark.zip")
+
+from simplecommoncrawlextractor_spark.plans import (  # noqa: E402
+    CrawlScheduler,
+    StateStore,
+)
+from simplecommoncrawlextractor_spark.sources import seed_frontier  # noqa: E402
+
+
+def main() -> None:
+    backend = sys.argv[1] if len(sys.argv) > 1 else "bloom"
+    n_seeds = int(sys.argv[2]) if len(sys.argv) > 2 else 3_000_000
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    load_before = os.getloadavg()[0]
+    from simplecommoncrawlextractor_spark import get_spark
+
+    # engine defaults (AQE, Arrow, tmpfs shuffle dir, 8g driver heap):
+    # the same session shape every prior round's loop measurement used —
+    # a fat driver heap here squeezes the Python workers that materialize
+    # the synthetic fetch bodies and gets them OOM-killed at 3M seeds
+    spark = get_spark(
+        app_name="ccspark-loop-throughput",
+        master=os.environ.get("LOOP_MASTER", "local[8]"),
+        shuffle_partitions=16,
+    )
+    root = tempfile.mkdtemp(prefix=f"loop_{backend}_")
+    try:
+        sched = CrawlScheduler(
+            spark,
+            StateStore(root),
+            host_budget=50,
+            salt_k=16,
+            n_buckets=64,
+            seen_backend=backend,
+        )
+        t0 = time.time()
+        sched.bootstrap(seed_frontier(spark, n=n_seeds, n_hosts=60_000))
+        t1 = time.time()
+        sched.run(rounds)
+        elapsed = time.time() - t1  # rounds only: bootstrap is one-time
+        n = sched.crawl_order().count()
+        print(
+            "LOOP_RESULT "
+            + json.dumps(
+                {
+                    "backend": backend,
+                    "n_seeds": n_seeds,
+                    "rounds": rounds,
+                    "urls_scheduled": n,
+                    "bootstrap_sec": round(t1 - t0, 2),
+                    "rounds_sec": round(elapsed, 2),
+                    "urls_per_sec": round(n / elapsed, 1),
+                    "load1_before": load_before,
+                    "load1_after": os.getloadavg()[0],
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
