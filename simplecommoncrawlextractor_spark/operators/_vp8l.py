@@ -44,14 +44,23 @@ _CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
 
 def _build_distance_map() -> list[tuple[int, int]]:
+    """The 120 short-distance codes are EXACTLY the neighbor offsets
+    x ∈ [-7, 8], y ∈ [0, 7] with (y > 0 or x > 0) — the spec table's
+    byte encoding ((y << 4) | (8 - x), one nibble each) admits no other
+    range, and that range has exactly 120 members, so the table is the
+    full candidate set, not a truncation. Order: ascending x²+y²,
+    nearer row (larger y) first within a distance, then smaller |x|,
+    positive x before negative — this reproduces the spec table's
+    listed prefix (pinned through entry 66 by the unit test)."""
     cand = [
         (x, y)
-        for y in range(9)
-        for x in range(-8, 9)
+        for y in range(8)
+        for x in range(-7, 9)
         if y > 0 or x > 0
     ]
     cand.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], abs(p[0]), p[0] < 0))
-    return cand[:120]
+    assert len(cand) == 120
+    return cand
 
 
 _DIST_MAP = _build_distance_map()

@@ -351,7 +351,10 @@ class StateStore:
     _PART_RE = re.compile(r"^[vdum]\d+$")
 
     def expire_snapshots(
-        self, keep_last: int = 1, older_than: float | None = None
+        self,
+        keep_last: int = 1,
+        older_than: float | None = None,
+        orphan_grace_sec: float = 3600.0,
     ) -> dict:
         """Iceberg's expire_snapshots + orphan-file cleanup: drop
         historical ``manifest-{sid}.json`` entries beyond the retention
