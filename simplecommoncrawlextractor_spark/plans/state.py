@@ -368,7 +368,13 @@ class StateStore:
         ``keep_last``: retain that many most-recent snapshot ids (the
         current snapshot is always retained regardless). ``older_than``:
         additionally retain any snapshot committed at/after this unix
-        time. Returns {"expired": [...], "removed": [...part dirs...]}.
+        time. ``orphan_grace_sec``: an unreferenced part directory
+        younger than this is NOT swept — a concurrent ``commit`` writes
+        part files BEFORE it publishes the manifest that references
+        them, so a zero-grace sweep racing such a commit would delete
+        the new snapshot's data (Iceberg's ``remove_orphan_files`` has
+        the same ``older_than`` guard for the same reason). Returns
+        {"expired": [...], "removed": [...part dirs...]}.
         """
         cur = self.snapshot_id()
         sids = self.snapshots()
@@ -401,7 +407,14 @@ class StateStore:
                     continue  # never touch anything we didn't name
                 rel = f"{table}/{part}"
                 if rel not in referenced:
-                    shutil.rmtree(os.path.join(tdir, part), ignore_errors=True)
+                    pdir = os.path.join(tdir, part)
+                    try:
+                        age = time.time() - os.path.getmtime(pdir)
+                    except OSError:
+                        continue  # vanished mid-scan (concurrent GC/commit)
+                    if age < orphan_grace_sec:
+                        continue  # possibly an in-flight commit's files
+                    shutil.rmtree(pdir, ignore_errors=True)
                     removed.append(rel)
         return {"expired": expired, "removed": sorted(removed)}
 

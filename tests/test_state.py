@@ -467,7 +467,10 @@ def test_expire_snapshots_retention_and_orphan_gc(spark, tmp_path):
     }
     assert len(old_frontiers) == 4  # one rewrite version per commit
 
-    out = store.expire_snapshots(keep_last=1)
+    # orphan_grace_sec=0: this test's parts are seconds old, and the
+    # point here is retention semantics, not the in-flight-commit guard
+    # (covered by test_expire_snapshots_orphan_grace below)
+    out = store.expire_snapshots(keep_last=1, orphan_grace_sec=0)
     assert out["expired"] == sids[:-1]
     assert store.snapshots() == [sids[-1]]
     # current state unaffected — crawl order identical
@@ -530,3 +533,38 @@ def test_expire_snapshots_older_than_retains_recent(spark, tmp_path):
     out = store.expire_snapshots(keep_last=1, older_than=cutoff)
     assert out["expired"] == [store.snapshots()[0] - 1] or out["expired"] == []
     assert set(store.snapshots()) >= {2, 3}
+
+
+def test_expire_snapshots_orphan_grace(spark, tmp_path):
+    """A fresh unreferenced part dir must survive the default-grace sweep
+    (a concurrent commit writes parts BEFORE publishing its manifest —
+    zero grace would delete the in-flight snapshot's data), and fall to
+    a zero-grace sweep; aging it past the grace makes the default sweep
+    take it too."""
+    import os
+
+    import pyspark.sql.functions as SF
+
+    root = str(tmp_path / "gr")
+    store = StateStore(root)
+    df = spark.range(3).select(
+        SF.col("id").cast("int").alias("bucket"), SF.col("id").alias("url_hash")
+    )
+    store.commit(tables={"t": df})
+    # simulate the window inside a concurrent commit: parts on disk,
+    # manifest not yet published
+    inflight = os.path.join(root, "t", "v999")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-0.parquet"), "wb") as f:
+        f.write(b"x")
+    out = store.expire_snapshots(keep_last=1)  # default grace
+    assert "t/v999" not in out["removed"] and os.path.isdir(inflight)
+    # age it past the grace: now it is a true orphan
+    old = 1.0
+    os.utime(inflight, (old, old))
+    out2 = store.expire_snapshots(keep_last=1)
+    assert "t/v999" in out2["removed"] and not os.path.exists(inflight)
+    # zero grace also sweeps a fresh orphan
+    os.makedirs(inflight)
+    out3 = store.expire_snapshots(keep_last=1, orphan_grace_sec=0)
+    assert "t/v999" in out3["removed"] and not os.path.exists(inflight)
