@@ -599,7 +599,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             tempfile.gettempdir(),
             "ccspark-warc-gate-" + re.sub(r"\W+", "_", d.rstrip("/")),
         )
-        write_warc(rows.repartition(4, "url"), out_dir)
+        # fan the archive write out across the session's shuffle
+        # parallelism (was a fixed 4): gzip compression is the write-side
+        # cost and one member per record means the archive layout — and
+        # the records read back — are identical under any partitioning
+        n_w = int(s.conf.get("spark.sql.shuffle.partitions", "32"))
+        write_warc(rows.repartition(n_w, "url"), out_dir)
         resp = warc_response_records(read_warc(s, os.path.join(out_dir, "*.warc.gz")))
         return resp.select(
             "url",

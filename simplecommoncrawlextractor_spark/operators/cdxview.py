@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 CDX_SQL = """
 SELECT
@@ -54,8 +54,23 @@ FROM orders
 
 def cdx_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize the shared CDX derivation as a DataFrame (registers the
-    ``orders`` temp view first)."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    ``orders`` temp view first).
+
+    The base scan is ``spread`` (round 6): the benchmark parquet arrives
+    as a single row group, so every per-row derivation here (md5 digest,
+    four regexes, parse_url) would otherwise run inside one or two scan
+    tasks — the round-robin exchange of the three narrow source columns
+    is far cheaper than serializing the derivation (guide §2.5 input
+    skew: repartition immediately after a too-few-splits read). At real
+    scale the scan carries enough splits that spread is a metadata-only
+    no-op."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        # project BEFORE the exchange: the derivation reads exactly these
+        # three columns, and an unprojected repartition would ship the
+        # whole row (o_comment included) through the shuffle (guide §2.3)
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    spread(orders).createOrReplaceTempView("orders")
     return spark.sql(CDX_SQL)
 
 

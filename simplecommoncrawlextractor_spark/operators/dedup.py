@@ -73,7 +73,8 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "d
     the content-addressed 'skip if digest exists' semantics of
     cc/warc/Extractor.java:104-108,159-162 as a relational op."""
     return (
-        docs.select(doc_fingerprint(text_col).alias("fp"), F.col(id_col))
+        _spread(docs.select(F.col(text_col), F.col(id_col)))
+        .select(doc_fingerprint(text_col).alias("fp"), F.col(id_col))
         .groupBy("fp")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("rep_id"))
         .orderBy("fp")
@@ -200,6 +201,43 @@ def minhash_lsh_candidates(
     )
 
 
+def _shingles_sized(
+    docs: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, sz, shingle) rows where ``sz`` is the doc's distinct-shingle
+    count. The distinct-shingle array is materialized ONCE per doc in a
+    projection below the Generate, so the size comes for free from
+    ``F.size`` — this replaces the previous ``count(*) over
+    (partition by doc_id)`` window, which shuffled and SORTED the whole
+    exploded shingle table just to recover a number already known at the
+    array stage (guide §2.4: remove shuffles outright)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = _spread(docs.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.array_distinct(sh).alias("__sh")
+    )
+    # explode_outer + not-null, NOT plain explode: with the array as a
+    # materialized attribute, InferFiltersFromGenerate would synthesize a
+    # ``size(__sh) > 0`` filter, substitute the full shingle expression
+    # back into it, and push it below the spread exchange — re-running
+    # the whole tokenize+transform+distinct pipeline serially inside the
+    # one-split scan (measured 61 s vs 4 s at sf1.0). The rule skips
+    # outer generates; concat_ws never yields null elements, so the
+    # not-null filter drops exactly the zero-shingle docs plain explode
+    # would have dropped.
+    return base.select(
+        F.col(id_col),
+        F.size("__sh").alias("sz"),
+        F.explode_outer("__sh").alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -208,45 +246,171 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     max_doc_freq: int | None = 128,
 ) -> DataFrame:
-    """n-gram Jaccard near-dup pairs: self-join on shingle → |A∩B| per pair,
-    |A|,|B| from per-doc shingle counts, keep J = inter/(|A|+|B|-inter) ≥ t.
-    The join key is the shingle value, intersection counts aggregate
-    map-side — no pairwise N² stage.
+    """n-gram Jaccard near-dup pairs: co-locate postings by shingle →
+    in-group pair instances → |A∩B| per pair, |A|,|B| from per-doc shingle
+    counts, keep J = inter/(|A|+|B|-inter) ≥ t. No pairwise N² stage: the
+    pair mass is bounded by Σ min(df, cap)² over shingles.
 
     ``max_doc_freq`` drops shingles appearing in more than that many
-    documents BEFORE the self-join (standard in dedup pipelines): one
+    documents BEFORE pair generation (standard in dedup pipelines): one
     boilerplate trigram shared by 10^6 web pages is 5·10^11 pairs from a
     single key. High-DF shingles carry almost no Jaccard signal for the
     near-dup regime (they inflate both intersection and union), so the cap
     trades a bounded similarity underestimate for a bounded join. Doc
     sizes keep counting ALL shingles — J is underestimated, never
-    overestimated, so the threshold stays a lower-bound guarantee."""
-    from pyspark.sql.window import Window
+    overestimated, so the threshold stays a lower-bound guarantee.
 
-    sh = shingles(docs, shingle_n, text_col, id_col)
-    # per-doc shingle-set size as a window count, carried WITH each shingle
-    # row into the per-shingle grouping: ONE evaluation of the shingle
-    # pipeline feeds the cap, the pairs AND both pair-side sizes (separate
-    # sizes joins would re-evaluate the pipeline once per join branch —
-    # three documents scans instead of one)
-    shz = sh.withColumn("sz", F.count("*").over(Window.partitionBy(id_col)))
-    grp = shz.groupBy("shingle").agg(
-        F.collect_list(
-            F.struct(F.col(id_col).alias("i"), F.col("sz").alias("s"))
-        ).alias("ids")
-    )
-    # struct elements sort by (i, s) = id-first, so pair order matches the
-    # plain-id version
-    inter = (
-        _bounded_group_pairs(grp, ["shingle"], max_doc_freq)
-        .groupBy(F.col("p.id_a.i").alias("id_a"), F.col("p.id_b.i").alias("id_b"))
-        .agg(
-            F.count("*").alias("inter"),
-            F.first("p.id_a.s").alias("sz_a"),
-            F.first("p.id_b.s").alias("sz_b"),
+    Plan shape (round 6 rewrite — measured 41.8 s → see
+    OPTIMIZATION_r06.md at sf1.0): the previous version exploded every
+    pair instance as a Spark row and hash-aggregated them — at sf1.0 that
+    is 126M struct rows collapsing into 114M groups (nearly all
+    intersection-1 pairs), so partial aggregation reduced nothing and the
+    JVM row machinery dominated. Now both heavy stages are vectorized
+    Arrow passes (guide §4.2):
+
+    1. postings hash-partitioned by shingle; one ``mapInPandas`` task
+       factorizes its shingles, generates the capped in-group pair
+       instances with numpy index arithmetic, and emits them partially
+       grouped by ``id_a`` as (id_a, sz_a, b_ids[], b_szs[]) array rows —
+       ~50× fewer shuffle rows than one row per pair instance;
+    2. rows hash-partitioned by id_a; one ``mapInPandas`` task expands its
+       arrays, lexsorts by (id_b, id_a) and run-length-encodes to the
+       EXACT per-pair intersection counts, then applies the provable
+       necessary condition J = i/(szA+szB−i) ≤ i/max(szA,szB) ⟹
+       (i ≥ t·szA−1 ∧ i ≥ t·szB−1) (the −1 slack covers float rounding of
+       the final division with ~15 orders of magnitude to spare), which
+       discards the intersection-1 mass before it ever becomes rows.
+
+    The surviving candidates (a small superset of the answer) get the
+    SAME exact double-division threshold test as before, in Spark — so
+    the result set is identical; only where the arithmetic runs moved.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    sh = _shingles_sized(docs, shingle_n, text_col, id_col)
+    # 2× the session shuffle parallelism for the two Arrow stages: each
+    # task buffers its partition's pair arrays, so halving the per-task
+    # working set keeps every concurrent task's footprint small (measured
+    # at sf1.0/local[32]: best-of-runs 16→8 s and run-to-run spread
+    # 16-65 s → 8-16 s vs 1× partitions; guide §5 — smaller per-task
+    # state — applied to Python workers). Scale-adaptive: derived from
+    # spark.sql.shuffle.partitions, not a constant.
+    n_part = 2 * int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    cap = max_doc_freq
+    # ids stay their declared Spark type end to end (tests use string ids);
+    # internally each task maps them to dense int codes via np.unique,
+    # whose sort order matches Spark's '<' for numerics and (ASCII) strings
+    id_t = docs.schema[id_col].dataType.simpleString()
+
+    def _np(arr: pa.Array) -> np.ndarray:
+        return arr.to_numpy(zero_copy_only=False)
+
+    def gen_pairs(batches):
+        id_c, sz_c, key_c = [], [], []
+        for rb in batches:
+            if rb.num_rows:
+                id_c.append(rb.column(0))
+                sz_c.append(rb.column(1))
+                key_c.append(rb.column(2))
+        if not id_c:
+            return
+        uid, icode = np.unique(
+            _np(pa.chunked_array(id_c).combine_chunks()), return_inverse=True
         )
+        szs = _np(pa.chunked_array(sz_c).combine_chunks()).astype(np.int64)
+        # shingle → dense code entirely in Arrow (no Python string objects)
+        codes = _np(
+            pa.chunked_array(key_c).combine_chunks().dictionary_encode().indices
+        ).astype(np.int64)
+        # postings sorted by (shingle, id): within-group ids ascending so
+        # every generated pair has id_a < id_b
+        order = np.lexsort((icode, codes))
+        icode, szs, codes = icode[order], szs[order], codes[order]
+        # group boundaries + df cap
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], codes.size]
+        df = ends - starts
+        keep = df >= 2 if cap is None else (df >= 2) & (df <= cap)
+        starts, ends = starts[keep], ends[keep]
+        if not starts.size:
+            return
+        # all in-group (a, b) index pairs, a before b, via index ramps:
+        # element at global index g in a group ending at e pairs as 'a'
+        # with the (e-1-g) elements after it
+        gidx = np.concatenate([np.arange(s, e) for s, e in zip(starts, ends)])
+        cnt = np.concatenate([np.arange(e - s - 1, -1, -1) for s, e in zip(starts, ends)])
+        a_idx = np.repeat(gidx, cnt)
+        if not a_idx.size:
+            return
+        run_start = np.cumsum(cnt) - cnt
+        b_idx = np.arange(a_idx.size) - np.repeat(run_start, cnt) + np.repeat(gidx, cnt) + 1
+        ca, sz_a = icode[a_idx], szs[a_idx]
+        cb, sz_b = icode[b_idx], szs[b_idx]
+        # partial-group by id_a: one output row per distinct id_a in this
+        # task, carrying its b-side as Arrow list columns built straight
+        # from the flat numpy buffers (offsets + values, no per-row copy)
+        o2 = np.argsort(ca, kind="stable")
+        ca, sz_a, cb, sz_b = ca[o2], sz_a[o2], cb[o2], sz_b[o2]
+        rs = np.flatnonzero(np.r_[True, ca[1:] != ca[:-1]])
+        off = pa.array(np.concatenate([rs, [ca.size]]).astype(np.int32))
+        yield pa.record_batch(
+            [
+                pa.array(uid[ca[rs]]),
+                pa.array(sz_a[rs]),
+                pa.ListArray.from_arrays(off, pa.array(uid[cb])),
+                pa.ListArray.from_arrays(off, pa.array(sz_b)),
+            ],
+            names=["id_a", "sz_a", "b_ids", "b_szs"],
+        )
+
+    st1 = sh.repartition(n_part, "shingle").mapInArrow(
+        gen_pairs,
+        f"id_a {id_t}, sz_a long, b_ids array<{id_t}>, b_szs array<long>",
     )
-    j = inter.withColumn(
+
+    thr = float(threshold)
+
+    def count_pairs(batches):
+        a_l, sa_l, b_l, sb_l = [], [], [], []
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            bl, bs = rb.column(2), rb.column(3)
+            lens = np.diff(bl.offsets.to_numpy(zero_copy_only=False))
+            a_l.append(np.repeat(_np(rb.column(0)), lens))
+            sa_l.append(np.repeat(_np(rb.column(1)).astype(np.int64), lens))
+            b_l.append(_np(bl.flatten()))
+            sb_l.append(_np(bs.flatten()))
+        if not a_l:
+            return
+        A, SA = np.concatenate(a_l), np.concatenate(sa_l)
+        B, SB = np.concatenate(b_l), np.concatenate(sb_l).astype(np.int64)
+        # dense int codes so the pair RLE below runs on int64 regardless
+        # of the id type; codes only need to preserve equality here
+        ua, ka = np.unique(A, return_inverse=True)
+        ub, kb = np.unique(B, return_inverse=True)
+        order = np.lexsort((kb, ka))
+        ka, SA, kb, SB = ka[order], SA[order], kb[order], SB[order]
+        rs = np.flatnonzero(np.r_[True, (ka[1:] != ka[:-1]) | (kb[1:] != kb[:-1])])
+        inter = np.diff(np.r_[rs, ka.size])
+        ka, SA, kb, SB = ka[rs], SA[rs], kb[rs], SB[rs]
+        # necessary condition for J ≥ t with one-integer slack (exact
+        # final test runs in Spark on the survivors)
+        keep = (inter + 1.0 >= thr * SA) & (inter + 1.0 >= thr * SB)
+        yield pa.record_batch(
+            [
+                pa.array(ua[ka[keep]]), pa.array(ub[kb[keep]]),
+                pa.array(inter[keep]), pa.array(SA[keep]), pa.array(SB[keep]),
+            ],
+            names=["id_a", "id_b", "inter", "sz_a", "sz_b"],
+        )
+
+    cand = st1.repartition(n_part, "id_a").mapInArrow(
+        count_pairs,
+        f"id_a {id_t}, id_b {id_t}, inter long, sz_a long, sz_b long",
+    )
+    j = cand.withColumn(
         "jaccard",
         F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
     ).filter(F.col("jaccard") >= threshold)
@@ -292,7 +456,10 @@ def simhash64(
       (same split as MinHash's md5-vs-xxhash64 modes). Costlier (a conv
       per bit) but the banding/vote/segment topology is identical.
     """
-    toks = docs.select(
+    # spread before the explode: the benchmark documents parquet is one
+    # row group, which would pin the token explode and the 64-expression
+    # vote projection below to a single scan task (guide §2.5)
+    toks = _spread(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     )

@@ -100,21 +100,64 @@ def srp_bucket_assignments(
     emb: DataFrame, dim: int, n_planes: int = 4, n_tables: int = 1,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, tbl, bucket) for every vector × table: broadcast-join the
-    planes table, project (ordered JVM-side fold), sign-bit-pack per
-    (id, tbl). Only the slim (id, tbl, p, sign) rows reach the groupBy
-    shuffle — the vector itself never leaves its scan partition."""
-    planes = _srp_planes(emb.sparkSession, dim, n_planes, n_tables)
-    proj = emb.select(id_col, vec_col).join(F.broadcast(planes)).select(
-        F.col(id_col),
-        F.col("tbl"),
-        F.col("p"),
-        _dot(F.col(vec_col).cast("array<double>"), F.col("w")).alias("s"),
+    """(id, tbl, bucket) for every vector × table, as ONE shuffle-free
+    Arrow pass (round 6; guide §4.2): the n_tables·n_planes ±1 plane
+    matrix rides the task closure as a numpy constant and each batch
+    accumulates all projections dimension-by-dimension, vectorized across
+    rows and planes. This replaces a broadcast-join that exploded N into
+    N·n_tables·n_planes rows, folded each 64-dim dot product through
+    Catalyst's *interpreted* higher-order aggregate/zip_with lambdas, and
+    then shuffled the scored rows into a (id, tbl) groupBy — all three
+    costs vanish (plan: BroadcastNestedLoopJoin + 2 Exchange → MapInPandas,
+    0 Exchange).
+
+    Bit-exactness with the previous plan (and the DuckDB oracle, which
+    replays ``srp_weight`` in SQL): the accumulation adds the products in
+    the same dimension order the JVM left-fold did, in the same float64
+    arithmetic; products v_j·(±1.0) are exact, so every intermediate —
+    and therefore every sign bit and bucket id — is bit-identical. The
+    sign test ``acc >= 0`` maps NaN to bit 0 exactly like the previous
+    ``F.when(s >= 0, ...).otherwise(0)``."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.tables import spread
+
+    n_pl = n_planes * n_tables
+    # plane p_global = t·n_planes + p, exactly _srp_planes' layout
+    W = np.array(
+        [[srp_weight(p, dim, j) for j in range(dim)] for p in range(n_pl)],
+        dtype=np.float64,
     )
-    bit = F.when(
-        F.col("s") >= 0, F.expr("shiftleft(cast(1 as bigint), p)")
-    ).otherwise(F.lit(0).cast("long"))
-    return proj.groupBy(id_col, "tbl").agg(F.sum(bit).alias("bucket"))
+    pw = 1 << np.arange(n_planes, dtype=np.int64)
+    id_t = emb.schema[id_col].dataType.simpleString()
+    tbl_ids = np.arange(n_tables, dtype=np.int32)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)  # B×dim
+            b = len(V)
+            acc = np.zeros((b, n_pl), dtype=np.float64)
+            for j in range(dim):
+                # same left-fold order as aggregate(zip_with(...)): exact
+                acc += V[:, j : j + 1] * W[None, :, j].reshape(1, n_pl)
+            bits = acc >= 0.0
+            bk = (bits.reshape(b, n_tables, n_planes) * pw[None, None, :]).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    "tbl": np.tile(tbl_ids, b),
+                    "bucket": bk.reshape(-1),
+                }
+            )
+
+    # spread: the benchmark embeddings parquet is one row group; without
+    # it the whole projection pass would run in a single scan task
+    return spread(emb.select(id_col, vec_col)).mapInPandas(
+        gen, f"{id_col} {id_t}, tbl int, bucket long"
+    )
 
 
 def _cap_groups(df: DataFrame, keys: list[str], cap: int | None) -> DataFrame:

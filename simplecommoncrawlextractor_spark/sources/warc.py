@@ -131,7 +131,16 @@ def _split_http(body: bytes) -> tuple[int | None, str | None, bytes]:
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """WARC files → one row per record, with HTTP payloads unwrapped for
     response records. Task unit = file (see module docstring)."""
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    from .tables import spread
+
+    # spread: binaryFile packs many small archives into few splits
+    # (openCost accounting), which would serialize the inflate+parse pass
+    # below on a couple of tasks; the repartition moves each archive's
+    # bytes once and is a metadata no-op when the scan already carries
+    # enough splits (guide §2.5)
+    files = spread(
+        spark.read.format("binaryFile").load(path).select("path", "content")
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
