@@ -604,7 +604,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cost and one member per record means the archive layout — and
         # the records read back — are identical under any partitioning
         n_w = int(s.conf.get("spark.sql.shuffle.partitions", "32"))
-        write_warc(rows.repartition(n_w, "url"), out_dir)
+        # zlib level 6 instead of the sink's level-9 default: the gate
+        # compares the PARSED records (urls, flags, byte counts, payload
+        # md5 of the decompressed payload), which are identical at any
+        # level, and level 9's extra compression passes are pure CPU here
+        write_warc(rows.repartition(n_w, "url"), out_dir, compresslevel=6)
         resp = warc_response_records(read_warc(s, os.path.join(out_dir, "*.warc.gz")))
         return resp.select(
             "url",

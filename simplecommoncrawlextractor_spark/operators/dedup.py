@@ -514,6 +514,9 @@ def simhash_near_dups(
     simhash_skew_report to see what the cap drops. Grouping (instead of
     the previous self-join) also evaluates the token→vote→simhash
     pipeline once rather than once per join branch."""
+    import numpy as np
+    import pyarrow as pa
+
     id_col = kw.get("id_col", "doc_id")
     sh = simhash64(docs, **kw)
     seg = sh.select(
@@ -523,25 +526,75 @@ def simhash_near_dups(
     ).withColumn(
         "seg_val", F.expr("shiftright(simhash, seg * 16) & 65535")
     )
-    grp = seg.groupBy("seg", "seg_val").agg(
-        F.collect_list(
-            F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("h"))
-        ).alias("ids")
-    )
-    cand = (
-        _bounded_group_pairs(grp, ["seg", "seg_val"], max_segment_bucket)
-        .select(
-            F.col("p.id_a.i").alias("id_a"),
-            F.col("p.id_b.i").alias("id_b"),
-            F.col("p.id_a.h").alias("h_a"),
-            F.col("p.id_b.h").alias("h_b"),
+    # round-6 rewrite of the candidate stage (guide §4.2; same shape as
+    # ngram_jaccard_pairs): co-locate the segment postings by
+    # (seg, seg_val), generate the capped in-bucket pairs with numpy index
+    # ramps inside ONE Arrow pass, and apply the hamming test right there
+    # — this replaces a collect_list groupBy + nested JVM transform/
+    # flatten pair explode (measured 6.6 s alone at sf1.0) + a distinct
+    # over all 4 segments' candidate structs (9.9 s end to end). Filtering
+    # before distinct is equivalence-preserving: hamming is a pure
+    # function of the pair (each id has exactly one simhash), so
+    # distinct∘filter = filter∘distinct, and over-cap buckets are skipped
+    # whole exactly as before. The distinct + ordering stay in Spark.
+    n_part = 2 * int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    id_t = docs.schema[id_col].dataType.simpleString()
+    cap = max_segment_bucket
+    maxh = int(max_hamming)
+    popb = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+    def gen(batches):
+        id_c, h_l, k_l = [], [], []
+        for rb in batches:
+            if rb.num_rows:
+                id_c.append(rb.column(0))
+                h_l.append(rb.column(1).to_numpy(zero_copy_only=False))
+                k_l.append(
+                    rb.column(2).to_numpy(zero_copy_only=False).astype(np.int64) * 65536
+                    + rb.column(3).to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+        if not id_c:
+            return
+        uid, icode = np.unique(
+            pa.chunked_array(id_c).combine_chunks().to_numpy(zero_copy_only=False),
+            return_inverse=True,
         )
+        hsh = np.concatenate(h_l).astype(np.int64)
+        key = np.concatenate(k_l)
+        order = np.lexsort((icode, key))
+        icode, hsh, key = icode[order], hsh[order], key[order]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        ends = np.r_[starts[1:], key.size]
+        n = ends - starts
+        keep = n >= 2 if cap is None else (n >= 2) & (n <= cap)
+        starts, ends = starts[keep], ends[keep]
+        if not starts.size:
+            return
+        gidx = np.concatenate([np.arange(s, e) for s, e in zip(starts, ends)])
+        cnt = np.concatenate([np.arange(e - s - 1, -1, -1) for s, e in zip(starts, ends)])
+        a_idx = np.repeat(gidx, cnt)
+        if not a_idx.size:
+            return
+        run_start = np.cumsum(cnt) - cnt
+        b_idx = np.arange(a_idx.size) - np.repeat(run_start, cnt) + np.repeat(gidx, cnt) + 1
+        x = np.bitwise_xor(hsh[a_idx], hsh[b_idx])
+        ham = popb[x.view(np.uint8)].reshape(-1, 8).sum(axis=1).astype(np.int32)
+        sel = ham <= maxh
+        yield pa.record_batch(
+            [
+                pa.array(uid[icode[a_idx[sel]]]),
+                pa.array(uid[icode[b_idx[sel]]]),
+                pa.array(ham[sel]),
+            ],
+            names=["id_a", "id_b", "hamming"],
+        )
+
+    cand = (
+        seg.repartition(n_part, "seg", "seg_val")
+        .mapInArrow(gen, f"id_a {id_t}, id_b {id_t}, hamming int")
         .distinct()
     )
-    ham = cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
-    return ham.filter(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
-    ).orderBy("id_a", "id_b")
+    return cand.orderBy("id_a", "id_b")
 
 
 def simhash_skew_report(

@@ -226,10 +226,16 @@ def ann_bucketed_top1(
     deterministic, oracle-mirrorable; a pair sharing a smaller bucket in
     another table still surfaces. At production scale set max_bucket as a
     multiple of the expected bucket size N / 2^n_planes."""
-    buck = _cap_groups(
-        srp_bucket_assignments(emb, dim, n_planes, n_tables, id_col, vec_col),
-        ["tbl", "bucket"], max_bucket,
-    )
+    # localCheckpoint the assignment: it feeds the cap's size aggregate,
+    # the semi-join AND both branches of the bucket self-join — without
+    # materialization the Arrow projection pass would re-execute once per
+    # branch (guide §3.3: materialize an intermediate both join sides
+    # reuse). ~160k slim rows, within-query only — nothing persists
+    # across runs.
+    asg = srp_bucket_assignments(
+        emb, dim, n_planes, n_tables, id_col, vec_col
+    ).localCheckpoint()
+    buck = _cap_groups(asg, ["tbl", "bucket"], max_bucket)
     a = buck.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
     b = buck.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
     # candidates stay slim (ids only) through the bucket self-join (NOT the
@@ -247,11 +253,21 @@ def ann_bucketed_top1(
         .select("id_a", "id_b")
     )
     scored = _cosine_scored(emb, cand, id_col, vec_col)
-    directed = scored.unionByName(
-        scored.select(
-            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "cos"
-        )
-    )
+    # mirror with ONE evaluation: a union of `scored` with its swap would
+    # execute the join+cosine subtree twice; exploding a 2-struct array
+    # emits both directions from a single pass (round 6; same rows)
+    directed = scored.select(
+        F.explode(
+            F.array(
+                F.struct("id_a", "id_b", "cos"),
+                F.struct(
+                    F.col("id_b").alias("id_a"),
+                    F.col("id_a").alias("id_b"),
+                    F.col("cos"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.id_a", "x.id_b", "x.cos")
     return _top1(directed)
 
 
@@ -269,10 +285,12 @@ def ann_multiprobe_top1(
     higher recall for similar candidate volume. Probing is query-side
     only: the index side stays one bucket per (id, tbl), so the join is
     still an equi-join, just on (tbl, probe = bucket)."""
-    buck = _cap_groups(
-        srp_bucket_assignments(emb, dim, n_planes, n_tables, id_col, vec_col),
-        ["tbl", "bucket"], max_bucket,
-    )
+    # materialized once for the same reason as ann_bucketed_top1 (cap
+    # aggregate + semi-join + both self-join branches)
+    asg = srp_bucket_assignments(
+        emb, dim, n_planes, n_tables, id_col, vec_col
+    ).localCheckpoint()
+    buck = _cap_groups(asg, ["tbl", "bucket"], max_bucket)
     probes = F.array(
         F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
     )
@@ -301,10 +319,10 @@ def embedding_near_dups_bucketed(
     but for the near-dup regime (cos ≥ ~0.9, angle ≤ 26°) each 4-bit
     table collides with p^4 ≈ 0.55, so 8 tables catch ≈ 1-(0.45)^8 ≈ 0.998
     of true near-dup pairs; far better than its top-1 recall."""
-    buck = _cap_groups(
-        srp_bucket_assignments(emb, dim, n_planes, n_tables, id_col, vec_col),
-        ["tbl", "bucket"], max_bucket,
-    )
+    asg = srp_bucket_assignments(
+        emb, dim, n_planes, n_tables, id_col, vec_col
+    ).localCheckpoint()
+    buck = _cap_groups(asg, ["tbl", "bucket"], max_bucket)
     a = buck.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
     b = buck.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
     # distinct here (unlike top-1): every surviving pair is OUTPUT, so
