@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from ..plans.frontier import canonical_candidates, dedup_by_hash, harvest_outlinks
+from ..plans.frontier import canonical_candidates, harvest_outlinks
 from ..plans.scheduler import CrawlScheduler
 
 
@@ -49,14 +49,11 @@ def stream_documents_to_frontier(
         seen_rows = scheduler.url_seen()
         blooms = scheduler.blooms()
         new_cand = scheduler.seen.probe(cand, seen_rows, blooms)
-        frontier = scheduler.frontier()
-        merged = frontier.unionByName(new_cand.select(*frontier.columns))
-        deduped = dedup_by_hash(merged).select(*frontier.columns)
-        scheduler.store.commit(
-            {"frontier": deduped},
-            carry_forward=["url_seen", "blooms", "fetch_log", "metrics", "robots"],
-            meta={"stream_batch": batch_id},
-        )
+        # O(batch) append commit (round 6): the scheduler's merge-on-read
+        # frontier means a micro-batch appends only its own candidates —
+        # previously every batch re-read, re-deduped and REWROTE the whole
+        # frontier; the winner-per-hash resolution now happens at read
+        scheduler.merge_candidates(new_cand, meta={"stream_batch": batch_id})
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -315,3 +315,44 @@ def test_seen_backend_legacy_store_defaults_to_bloom(spark, tmp_path):
         CrawlScheduler(spark, StateStore(root), n_buckets=8, seen_backend="cuckoo")
     sched = CrawlScheduler(spark, StateStore(root), n_buckets=8)
     sched.step()  # bloom resume still works
+
+
+def test_frontier_commit_is_o_round_and_compaction_neutral(spark, tmp_path, monkeypatch):
+    """Round-6 merge-on-read frontier: (a) a normal round's frontier commit
+    appends ONLY that round's candidate delta + scheduled tombstones — its
+    on-disk part holds O(round) rows, not the O(frontier) rewrite the old
+    path wrote; (b) compaction (parts folding past MAX_FRONTIER_PARTS) is
+    order-neutral: a run compacting every 2 rounds schedules the byte-
+    identical crawl order of a run that never compacts."""
+    import os
+
+    # (a) write volume: newest frontier part row count == that round's
+    # appended candidates, while the resolved frontier is much larger
+    root = str(tmp_path / "wv")
+    store = StateStore(root)
+    sched = CrawlScheduler(spark, store, host_budget=4, salt_k=4, n_buckets=8)
+    sched.bootstrap(seed_frontier(spark, n=2000))
+    stats = [sched.step() for _ in range(3)]
+    rel = store.manifest()["tables"]["frontier"]
+    assert isinstance(rel, list) and len(rel) == 4  # bootstrap base + 3 deltas
+    assert "frontier_tombs" in store.manifest()["tables"]
+    for s, part in zip(stats, rel[1:]):
+        assert not s["frontier_compacted"]
+        part_rows = spark.read.parquet(os.path.join(root, part)).count()
+        assert part_rows == s["frontier"]  # the delta, nothing more
+    # the bootstrap base part is never rewritten — only re-referenced
+    assert rel[0].startswith("frontier/v")
+    # tombstones = everything ever scheduled
+    tombs = store.read(spark, "frontier_tombs", "url_hash long").count()
+    assert tombs == sum(s["fetched"] for s in stats)
+
+    # (b) compaction neutrality (+ resume across a compaction boundary)
+    monkeypatch.setattr(CrawlScheduler, "MAX_FRONTIER_PARTS", 2)
+    compacted = _run(spark, str(tmp_path / "cmp"), rounds=5, n_seeds=300)
+    assert any(
+        isinstance(store_rel, str)
+        for store_rel in [compacted.store.manifest()["tables"]["frontier"]]
+    ) or len(compacted.store.manifest()["tables"]["frontier"]) <= 2
+    monkeypatch.setattr(CrawlScheduler, "MAX_FRONTIER_PARTS", 100)
+    plain = _run(spark, str(tmp_path / "plain"), rounds=5, n_seeds=300)
+    assert _order_rows(compacted) == _order_rows(plain)

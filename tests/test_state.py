@@ -271,14 +271,12 @@ def test_snapshot_time_travel_and_rollback_replay(spark, tmp_path):
     sids = store.snapshots()
     assert sids == sorted(set(frontiers) | {1})  # bootstrap + 3 steps
 
-    # time travel: historical frontier counts readable without rollback
+    # time travel: historical RESOLVED frontier counts readable without
+    # rollback (the raw parts are merge-on-read storage since round 6 —
+    # candidate appends + tombstones — so the resolved view is the
+    # frontier, not the raw part union)
     mid = sorted(frontiers)[0]
-    assert store.read(
-        spark, "frontier",
-        "url string, url_canon string, url_hash long, host string, "
-        "priority double, discovered_at timestamp",
-        snapshot=mid,
-    ).count() == frontiers[mid]
+    assert sched.frontier(snapshot=mid).count() == frontiers[mid]
     # historical fetch_log has only the rounds up to that snapshot
     assert (
         store.read(spark, "fetch_log", FETCH_LOG_SCHEMA, snapshot=mid)
@@ -456,6 +454,10 @@ def test_expire_snapshots_retention_and_orphan_gc(spark, tmp_path):
     root = str(tmp_path / "exp")
     store = StateStore(root)
     sched = CrawlScheduler(spark, store, host_budget=4, salt_k=4, n_buckets=8)
+    # force a frontier compaction inside the 3 rounds so superseded parts
+    # exist for the GC to sweep (merge-on-read appends are otherwise all
+    # referenced by the current manifest — that is the point of them)
+    sched.MAX_FRONTIER_PARTS = 2
     sched.bootstrap(seed_frontier(spark, n=150))
     for _ in range(3):
         sched.step()
@@ -465,7 +467,8 @@ def test_expire_snapshots_retention_and_orphan_gc(spark, tmp_path):
     old_frontiers = {
         p for p in os.listdir(os.path.join(root, "frontier"))
     }
-    assert len(old_frontiers) == 4  # one rewrite version per commit
+    # bootstrap base, one delta, the compacted base, one delta
+    assert len(old_frontiers) == 4
 
     # orphan_grace_sec=0: this test's parts are seconds old, and the
     # point here is retention semantics, not the in-flight-commit guard
@@ -478,9 +481,10 @@ def test_expire_snapshots_retention_and_orphan_gc(spark, tmp_path):
     # time travel to an expired snapshot now raises
     with pytest.raises(FileNotFoundError):
         store.manifest(sids[0])
-    # rewrite-table history physically gone, current version retained
+    # pre-compaction frontier history physically gone; the compacted base
+    # + the post-compaction delta the current manifest references remain
     left = set(os.listdir(os.path.join(root, "frontier")))
-    assert len(left) == 1 and left < old_frontiers
+    assert len(left) == 2 and left < old_frontiers
     # append deltas from EVERY round survive (current manifest unions them)
     assert (
         store.read(spark, "fetch_log", FETCH_LOG_SCHEMA)
