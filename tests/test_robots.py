@@ -151,7 +151,15 @@ def test_auto_robots_fetches_rules_and_blocks_frontier(spark, tmp_path):
     assert banned, "synth robots should disallow /private/ for ~1/3 of hosts"
     fetched_hosts = {r["host"] for r in sched.crawl_order().collect()}
     assert not (fetched_hosts & banned)
-    # blocked rows are evicted from the frontier, not pinned forever
+    # blocked rows never pass admission (the view every schedule/harvest
+    # consumes) ...
+    admitted = sched._admit(sched.frontier())
+    assert admitted.filter(F2.col("host").isin(list(banned))).count() == 0
+    # ... and are physically evicted from storage at the next frontier
+    # compaction (round-6 merge-on-read: normal rounds append O(round)
+    # deltas and leave old rows to the compaction pass)
+    sched.MAX_FRONTIER_PARTS = 1
+    sched.step()
     assert sched.frontier().filter(F2.col("host").isin(list(banned))).count() == 0
     # step's harvest hops to NEW hosts — those legitimately need a fetch;
     # a second refresh with no new hosts in between must fetch nothing
