@@ -174,19 +174,89 @@ def minhash_lsh_candidates(
     >max_band_bucket-sized identical pile belongs to exact dedup anyway.
     Use dedup_skew_report to see what a cap would drop."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(
-        shingles(docs, shingle_n, text_col, id_col), n_hashes, id_col, hash_mode
-    )
-    # md5 sigs are strings; xxhash64 sigs are longs — sort natively, then
-    # stringify for the concat key (band_key equality is all that matters)
-    key_parts = F.array_sort(F.collect_list("sig"))
-    if hash_mode == "xxhash64":
-        key_parts = F.transform(key_parts, lambda x: x.cast("string"))
-    banded = (
-        sig.withColumn("band", (F.col("salt") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.concat_ws(",", key_parts).alias("band_key"))
-    )
+    if hash_mode == "md5":
+        # round 6: signatures AND banding for the md5 (oracle) mode fuse
+        # into ONE shuffle-free Arrow pass over the shingle explode
+        # (guide §4.2/§2.4). Explode keeps each doc's shingles contiguous
+        # within its partition, so per-doc minima need no groupBy shuffle;
+        # each task md5-hashes every DISTINCT shingle once (dict cache —
+        # the corpus vocabulary repeats heavily) instead of the JVM
+        # hashing all 9 digests per posting row, and emits the
+        # (doc, band, band_key) rows directly. hashlib hexdigest is
+        # byte-identical to Spark's md5(), Python sorted() on ASCII hex
+        # equals array_sort's UTF8 ordering, so band keys — and the DuckDB
+        # oracle replay — are unchanged (selfcheck + pytest-pinned).
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        sh = shingles(docs, shingle_n, text_col, id_col)
+        id_t = docs.schema[id_col].dataType.simpleString()
+        nh, rpb, nb = n_hashes, rows_per_band, bands
+
+        def sig_bands(batches):
+            ids_l, sh_l = [], []
+            for rb in batches:
+                if rb.num_rows:
+                    ids_l.append(rb.column(0).to_numpy(zero_copy_only=False))
+                    sh_l.append(rb.column(1))
+            if not ids_l:
+                return
+            ids = np.concatenate(ids_l)
+            toks = pa.chunked_array(sh_l).combine_chunks().to_pylist()
+            cache: dict[str, tuple] = {}
+
+            def sig(s):
+                v = cache.get(s)
+                if v is None:
+                    h0 = hashlib.md5(s.encode("utf-8")).hexdigest()
+                    v = tuple(
+                        hashlib.md5((str(k) + h0).encode()).hexdigest()
+                        for k in range(nh)
+                    )
+                    cache[s] = v
+                return v
+
+            out_id, out_band, out_key = [], [], []
+            i, n = 0, len(ids)
+            while i < n:
+                did = ids[i]
+                mins = list(sig(toks[i]))
+                j = i + 1
+                while j < n and ids[j] == did:
+                    v = sig(toks[j])
+                    for k in range(nh):
+                        if v[k] < mins[k]:
+                            mins[k] = v[k]
+                    j += 1
+                for b in range(nb):
+                    out_id.append(did)
+                    out_band.append(b)
+                    out_key.append(",".join(sorted(mins[b * rpb:(b + 1) * rpb])))
+                i = j
+            yield pa.record_batch(
+                [pa.array(out_id), pa.array(out_band, type=pa.int32()), pa.array(out_key)],
+                names=[id_col, "band", "band_key"],
+            )
+
+        banded = sh.mapInArrow(
+            sig_bands, f"{id_col} {id_t}, band int, band_key string"
+        )
+    else:
+        sig = minhash_signatures(
+            shingles(docs, shingle_n, text_col, id_col), n_hashes, id_col, hash_mode
+        )
+        # xxhash64 sigs are longs — sort natively, then stringify for the
+        # concat key (band_key equality is all that matters)
+        key_parts = F.transform(
+            F.array_sort(F.collect_list("sig")), lambda x: x.cast("string")
+        )
+        banded = (
+            sig.withColumn("band", (F.col("salt") / rows_per_band).cast("int"))
+            .groupBy(id_col, "band")
+            .agg(F.concat_ws(",", key_parts).alias("band_key"))
+        )
     grp = banded.groupBy("band", "band_key").agg(
         F.collect_list(id_col).alias("ids")
     )
