@@ -203,6 +203,43 @@ def canonicalize_url(url: pd.Series) -> pd.Series:
     )
 
 
+def with_canonical_url(df, url_col: str = "url", out_col: str = "url_canon"):
+    """Attach the canonical URL as ONE ``mapInPandas`` pass (round 6).
+
+    Why not ``withColumn(out_col, canonicalize_url(...))``: a downstream
+    filter on the canonical form (the F12 chain in
+    ``plans.frontier.canonical_candidates``) gets pushed below the
+    projection and ExtractPythonUDFs then materializes TWO
+    ArrowEvalPython nodes — one feeding the filter, one re-canonicalizing
+    the survivors (captured in plans/r06/frontier_schedule_prod_before
+    nodes 11+14). ``mapInPandas`` is opaque to predicate pushdown, so the
+    canonicalizer provably runs once per row; same function, same Arrow
+    batching, all input columns pass through unchanged (measured:
+    frontier prod query 1.47 → 1.05 s, the 2M-URL kernel candidate leg
+    1.13 → 0.87 s at sf0.1/local[32], byte-identical output)."""
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+
+    def canon(batches):
+        from ._urls_arrow import canonicalize_batch
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = canonicalize_batch(
+                pdf[url_col],
+                plain_qs_re=_PLAIN_QS_RE,
+                sort_query=_sort_query,
+                fast_sort_parts=_fast_sort_parts,
+                pct_decode=_pct_decode_unreserved,
+                remove_dots=_remove_dot_segments,
+                dotseg_re=_DOTSEG_RE,
+                decomp_re=_DECOMP_RE,
+                canon_one=_canon_one,
+            )
+            yield pdf
+
+    return df.mapInPandas(canon, f"{fields}, `{out_col}` string")
+
+
 def compile_filter_chain(patterns: list[str]) -> Column:
     """Build the reference's ordered URL filter chain as ONE fused predicate.
 

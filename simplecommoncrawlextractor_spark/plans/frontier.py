@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.hashing import url_hash64
-from ..functions.urls import canonicalize_url, extract_urls, url_filter_ok
+from ..functions.urls import extract_urls, url_filter_ok
 
 FRONTIER_SCHEMA = (
     "url string, url_canon string, url_hash long, host string, "
@@ -60,8 +60,16 @@ def canonical_candidates(
     Priority/discovered_at default to key-derived deterministic values, so
     any parallelism level yields the same frontier (north_rule resume +
     scaling clauses both need this).
+
+    The canonical form is attached through ``with_canonical_url``'s
+    mapInPandas barrier (round 6): with a plain ``withColumn``, pushing
+    the F12 filter below the projection made ExtractPythonUDFs emit TWO
+    ArrowEvalPython canonicalize nodes — every URL was canonicalized
+    twice (plan nodes 11+14 in plans/r06/frontier_schedule_prod_before).
     """
-    c = urls.withColumn("url_canon", canonicalize_url(F.col(url_col)))
+    from ..functions.urls import with_canonical_url
+
+    c = with_canonical_url(urls, url_col)
     c = c.filter(url_filter_ok(F.col("url_canon")))
     c = c.withColumn("url_hash", url_hash64("url_canon")).withColumn(
         "host", F.parse_url("url_canon", F.lit("HOST"))
