@@ -73,3 +73,40 @@ def _sniff_one(b: bytes | None) -> str | None:
 def sniff_mime(prefix: pd.Series) -> pd.Series:
     """Detect MIME from the first ``SNIFF_BUDGET_BYTES`` of a payload."""
     return prefix.map(_sniff_one)
+
+
+def with_detected_mime(df, payload_col: str = "payload", out_col: str = "detected_mime"):
+    """Attach the two-phase sniffed MIME as ONE ``mapInPandas`` pass.
+
+    Why not the ``withColumn(sniff prefix) + F.when(octet, sniff full)``
+    operator split (round 6): ExtractPythonUDFs hoists python UDFs out of
+    conditional branches and out of filters, so the previous plan
+    (a) evaluated the FULL-payload sniff unconditionally for every row —
+    the ``F.when`` only selected between two already-computed results,
+    defeating the 1000-byte budget the reference's escalation exists for
+    (cc/warc/Extractor.java:110-139) — and (b) duplicated both sniffs
+    into a second ArrowEvalPython node when the F6 selection filter was
+    pushed below the projection (two nodes each carrying
+    ``sniff_mime(substring(payload,1,1000))`` AND ``sniff_mime(payload)``
+    — captured in OPTIMIZATION_r06.md). Inside one pandas batch the
+    escalation is a per-row conditional for real: only rows whose prefix
+    sniff says octet-stream touch bytes past the budget, and the barrier
+    is opaque to pushdown so nothing re-evaluates. Same per-row result:
+    null payload → null, else full sniff iff the prefix sniff returned
+    application/octet-stream."""
+
+    def sniff_rows(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = pdf[payload_col]
+            phase1 = payloads.map(
+                lambda b: _sniff_one(b[:SNIFF_BUDGET_BYTES] if b is not None else None)
+            )
+            esc = phase1 == "application/octet-stream"
+            if esc.any():
+                phase1 = phase1.where(~esc, payloads[esc].map(_sniff_one))
+            pdf[out_col] = phase1
+            yield pdf
+
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInPandas(sniff_rows, f"{fields}, `{out_col}` string")

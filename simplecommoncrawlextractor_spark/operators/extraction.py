@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import b32_sha1, digest_shard
 from ..functions.scalars import pick_extension, url_ext_warc
-from ..functions.sniff import sniff_mime
+from ..functions.sniff import with_detected_mime
 
 # mime → file extension for the pickExtension cascade (the reference asks
 # Tika's mime registry, AbstractExtractor.java:141-154; this literal map
@@ -140,16 +140,13 @@ def extract(
 
     if not presniffed:
         # two-phase sniff: prefix pass for everyone, full pass ONLY for rows
-        # the prefix pass called octet-stream (Extractor.java:116-139)
-        prefix = F.substring(F.col("payload"), 1, 1000)
-        df = df.withColumn("mime_phase1", sniff_mime(prefix))
-        df = df.withColumn(
-            "detected_mime",
-            F.when(
-                F.col("mime_phase1") == "application/octet-stream",
-                sniff_mime(F.col("payload")),
-            ).otherwise(F.col("mime_phase1")),
-        ).drop("mime_phase1")
+        # the prefix pass called octet-stream (Extractor.java:116-139).
+        # One mapInPandas barrier (round 6): the previous F.when operator
+        # split was defeated by ExtractPythonUDFs, which hoisted the
+        # full-payload sniff out of the branch (every row paid it) and
+        # duplicated both sniffs below the pushed-down F6 filter — see
+        # with_detected_mime's docstring for the captured plan shape.
+        df = with_detected_mime(df, "payload")
 
     # F6 selection on (detected, header, url-ext)
     df = df.withColumn("url_ext", url_ext_warc(F.col("url")))
