@@ -266,27 +266,22 @@ def minhash_lsh_candidates(
         mins = hashed.groupBy(id_col).agg(
             *[F.min(f"h{s}").alias(f"m{s}") for s in range(n_hashes)]
         )
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.array_sort(
-                                F.array(
-                                    *[
-                                        F.col(f"m{b * rows_per_band + r}")
-                                        for r in range(rows_per_band)
-                                    ]
-                                )
-                            ),
-                            lambda x: x.cast("string"),
-                        ),
-                    ).alias("band_key"),
+        # one parsed SQL string instead of ~50 nested Column calls — same
+        # Catalyst tree, ~0.1 s less driver time per construction (the
+        # same py4j-round-trip economy simhash64 applies)
+        band_structs = F.expr(
+            "array("
+            + ", ".join(
+                "struct({b} AS band, concat_ws(',', transform(array_sort(array({ms})),"
+                " x -> cast(x as string))) AS band_key)".format(
+                    b=b,
+                    ms=", ".join(
+                        f"m{b * rows_per_band + r}" for r in range(rows_per_band)
+                    ),
                 )
                 for b in range(bands)
-            ]
+            )
+            + ")"
         )
         banded = mins.select(F.col(id_col), F.explode(band_structs).alias("x")).select(
             id_col, F.col("x.band").alias("band"), F.col("x.band_key").alias("band_key")
@@ -572,32 +567,29 @@ def simhash64(
     # (doc, bit) groupBy — 64M shuffle rows per 1M tokens; this one
     # partial-aggregates 64 small sums map-side and shuffles one row per
     # (doc, partition). Same math, same simhash values.
+    # each 64-wide expression family is built as ONE parsed SQL string per
+    # column (round 6): composing them op-by-op with Column arithmetic
+    # cost 0.6-0.8 s of DRIVER time per query construction (hundreds of
+    # py4j round trips for 64 × ~6 Column ops), which the bench pays on
+    # every trial — the parsed expressions are the same Catalyst trees,
+    # so plans and simhash values are unchanged (pytest bit-replay green)
     if hash_mode == "md5hex":
         h = toks.select(F.col(id_col), F.md5("tok").alias("hx"))
-        bit_exprs = [
-            (
-                F.expr(
-                    f"shiftright(cast(conv(substring(hx, {b // 4 + 1}, 1), 16, 10) as int), {b % 4}) & 1"
-                )
-                * 2
-                - 1
-            )
+        vote_sqls = [
+            f"sum(((shiftright(cast(conv(substring(hx, {b // 4 + 1}, 1), 16, 10) as int), {b % 4}) & 1) * 2 - 1)) AS v{b}"
             for b in range(64)
         ]
     else:
         h = toks.select(F.col(id_col), F.xxhash64("tok").alias("h"))
-        bit_exprs = [
-            (F.expr(f"shiftright(h, {b}) & 1") * 2 - 1) for b in range(64)
+        vote_sqls = [
+            f"sum(((shiftright(h, {b}) & 1) * 2 - 1)) AS v{b}" for b in range(64)
         ]
-    votes = h.groupBy(id_col).agg(
-        *[F.sum(e).alias(f"v{b}") for b, e in enumerate(bit_exprs)]
+    votes = h.groupBy(id_col).agg(*[F.expr(s) for s in vote_sqls])
+    sim_sql = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN shiftleft(cast(1 as bigint), {b}) ELSE cast(0 as bigint) END)"
+        for b in range(64)
     )
-    sim = F.lit(0).cast("long")
-    for b in range(64):
-        sim = sim + F.when(
-            F.col(f"v{b}") > 0, F.expr(f"shiftleft(cast(1 as bigint), {b})")
-        ).otherwise(F.lit(0).cast("long"))
-    return votes.select(F.col(id_col), sim.alias("simhash"))
+    return votes.select(F.col(id_col), F.expr(sim_sql).alias("simhash"))
 
 
 def simhash_near_dups(

@@ -49,7 +49,9 @@ def interleaved_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat documents.parquet. 2-5 spans/doc; offsets strictly increasing;
     span order is semantic (per-row invariant: span-sequence equality on
     (kind, text, media_ref, order))."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
     k = F.col("doc_id")
     ks = k.cast("string")
 

@@ -131,6 +131,48 @@ def test_semantic_dedup_plan_no_cartesian_no_python(spark, sf_dir):
     assert "cluster" in plan
 
 
+def test_canonicalize_evaluated_exactly_once(spark, sf_dir):
+    """Round 6: the F12 filter below the canonicalize projection used to
+    split the UDF into TWO ArrowEvalPython nodes (one feeding the filter,
+    one re-canonicalizing survivors). The mapInPandas barrier must keep
+    it at exactly one Python canonicalize evaluation; extract_urls stays
+    the only ArrowEvalPython in the frontier pipeline."""
+    from simplecommoncrawlextractor_spark.plans.frontier import harvest_outlinks
+    from simplecommoncrawlextractor_spark.sources import interleaved_documents
+
+    docs = interleaved_documents(spark, sf_dir)
+    out = politeness_schedule(canonical_candidates(harvest_outlinks(docs)), 5, 4)
+    plan = _plan(out)
+    assert plan.count("MapInPandas") == 1
+    # exactly one ArrowEvalPython stage (extract_urls); a second one means
+    # the canonicalizer is being re-evaluated for the filter again
+    assert plan.count("ArrowEvalPython") == 1
+    assert "canonicalize_url" not in plan.split("MapInPandas")[0]
+
+
+def test_sniff_evaluated_once_and_conditionally(spark, sf_dir):
+    """Round 6: the two-phase sniff must be ONE MapInPandas pass — the
+    previous F.when operator split evaluated the full-payload sniff
+    unconditionally for every row and duplicated both sniffs below the
+    pushed-down selection filter."""
+    from simplecommoncrawlextractor_spark.operators.extraction import (
+        ExtractorConfig,
+        extract,
+    )
+
+    df = spark.range(50).select(
+        F.concat(F.lit("https://x.com/p/"), F.col("id").cast("string"), F.lit(".html")).alias("url"),
+        F.lit("text/html").alias("header_mime"),
+        F.concat(F.lit("body"), F.col("id").cast("string")).cast("binary").alias("payload"),
+        F.lit(None).cast("string").alias("truncated"),
+        (F.col("id") + 100).cast("long").alias("length"),
+    )
+    out = extract(df, ExtractorConfig(include_detected_mimes="pdf|html"), presniffed=False)
+    plan = _plan(out)
+    assert plan.count("MapInPandas") == 1
+    assert "sniff_mime" not in plan  # no ArrowEvalPython sniff remnants
+
+
 def test_substring_spans_single_explode_and_partial_agg(spark, sf_dir):
     """Duplicated-substring spans: the gram groupBy partial-aggregates
     map-side (boilerplate grams collapse before the shuffle) and no
