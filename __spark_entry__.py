@@ -125,7 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # --- CDX analytics (A*, O*, F*) -------------------------------------
-    q["a1_count_mimes"] = lambda s, d: A.a1_count_mimes(cdx_view(s, d))
+    q["a1_count_mimes"] = lambda s, d: A.a1_count_mimes(cdx_view(s, d, spread_scan=False))
     q["a2_count_ext"] = lambda s, d: A.a2_count_ext(cdx_view(s, d))
     q["a3_count_ext_by_mime"] = lambda s, d: A.a3_count_ext_by_mime(cdx_view(s, d))
     q["a5_count_tlds"] = lambda s, d: A.a5_count_tlds(cdx_view(s, d))
@@ -136,7 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["a8_count_tld_charset"] = lambda s, d: A.a8_count_tld_charset(cdx_view(s, d))
     q["a9_count_tld_charset_lang"] = lambda s, d: A.a9_count_tld_charset_lang(cdx_view(s, d))
     q["a10_mime_confusion"] = lambda s, d: A.a10_mime_confusion(cdx_view(s, d))
-    q["a11_run_stats"] = lambda s, d: A.a11_run_stats(cdx_view(s, d))
+    q["a11_run_stats"] = lambda s, d: A.a11_run_stats(cdx_view(s, d, spread_scan=False))
     q["o2_double_key_sort"] = lambda s, d: A.o2_double_key_sort(cdx_view(s, d))
     q["o4_politeness_topk"] = lambda s, d: A.o4_politeness_topk(cdx_view(s, d))
     q["f5_length_gates"] = lambda s, d: A.f5_length_gates(cdx_view(s, d)).select(
@@ -146,10 +146,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cdx_view(s, d), _digest_list(s, d)
     ).select("rec_id", "url", "digest")
     q["f9_seen_antijoin"] = lambda s, d: A.f9_seen_antijoin(
-        cdx_view(s, d), _digest_list(s, d)
+        cdx_view(s, d, spread_scan=False), _digest_list(s, d)
     ).select("rec_id", "url", "digest")
     q["f10_downsample_strata"] = lambda s, d: S.deterministic_sample(
-        cdx_view(s, d), _DOWNSAMPLE_RATES, "mime_detected", "rec_id", default=0.1
+        cdx_view(s, d, spread_scan=False), _DOWNSAMPLE_RATES, "mime_detected", "rec_id", default=0.1
     ).select("rec_id", "url", "mime_detected")
     q["a12_sample_tally"] = lambda s, d: S.sample_tally(
         cdx_view(s, d),

@@ -52,7 +52,7 @@ FROM orders
 """.strip()
 
 
-def cdx_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cdx_view(spark: SparkSession, sf_dir: str, spread_scan: bool = True) -> DataFrame:
     """Materialize the shared CDX derivation as a DataFrame (registers the
     ``orders`` temp view first).
 
@@ -63,14 +63,24 @@ def cdx_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     is far cheaper than serializing the derivation (guide §2.5 input
     skew: repartition immediately after a too-few-splits read). At real
     scale the scan carries enough splits that spread is a metadata-only
-    no-op."""
+    no-op.
+
+    ``spread_scan=False`` keeps the raw scan for the handful of cheap
+    aggregate consumers (a1/a11/f9/f10) whose per-row derivation is
+    lighter than the exchange itself — measured +0.1-0.3 s each at sf1.0
+    with the spread, a strict loss for them; the derivation-heavy family
+    (a6/a10/o4/p1/p2/...) keeps the default. Row values are identical
+    either way (the exchange only reorders rows), which the DuckDB oracle
+    replay pins."""
     orders = load_table(spark, sf_dir, "orders").select(
         # project BEFORE the exchange: the derivation reads exactly these
         # three columns, and an unprojected repartition would ship the
         # whole row (o_comment included) through the shuffle (guide §2.3)
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    spread(orders).createOrReplaceTempView("orders")
+    if spread_scan:
+        orders = spread(orders)
+    orders.createOrReplaceTempView("orders")
     return spark.sql(CDX_SQL)
 
 

