@@ -81,24 +81,90 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
+def _arrow_shingles(
+    docs: DataFrame, n: int, text_col: str, id_col: str, with_size: bool
+) -> DataFrame:
+    """Distinct n-token shingle postings, built in ONE Arrow pass.
+
+    Tokenization stays in the JVM (``split(lower(trim(text)), '\\s+')``,
+    codegen'd, exactly the reference/oracle semantics for trim and Java
+    ``\\s``); the n-gram construction and per-doc distinct move to
+    pyarrow/numpy (round 6, guide §4.2). The previous JVM chain ran the
+    higher-order ``transform`` + ``concat_ws(slice(...))`` + an
+    ``array_distinct`` + a Generate — Catalyst evaluates higher-order
+    lambdas interpreted, measured ~60 task-seconds at sf1.0 vs ~1 s
+    single-threaded for the Arrow kernels (split_pattern is not used, so
+    no regex-dialect risk). Docs shorter than n tokens emit no shingles,
+    as before. Each input row is one whole document, so per-batch
+    processing keeps doc postings contiguous within their partition —
+    the invariant the minhash signature fold relies on. Posting ORDER
+    within a doc becomes sorted-first-occurrence instead of text order;
+    no consumer is order-sensitive (mins, groupBys, pair generation).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    id_t = docs.schema[id_col].dataType.simpleString()
+    toks_df = _spread(docs.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
+    )
+
+    def gen(batches):
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            ids = rb.column(0)
+            toks = rb.column(1)
+            off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = toks.values
+            lens = np.diff(off)
+            m = np.maximum(lens - (n - 1), 0)
+            total = int(m.sum())
+            if not total:
+                continue
+            # global start index of every shingle window, via index ramps
+            base = np.repeat(off[:-1], m)
+            ramp = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(m) - m, m
+            )
+            starts = base + ramp
+            parts = [vals.take(pa.array(starts + k)) for k in range(n)]
+            sh = pc.binary_join_element_wise(*parts, " ")
+            # per-doc distinct: one packed (row, shingle_code) unique —
+            # both factors are far below 2^31 within a batch
+            seg = np.repeat(np.arange(rb.num_rows, dtype=np.int64), m)
+            ci = (
+                sh.dictionary_encode()
+                .indices.to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            uk, first_idx = np.unique((seg << 32) | ci, return_index=True)
+            useg = (uk >> 32).astype(np.int64)
+            cols = [ids.take(pa.array(useg))]
+            if with_size:
+                # uk is sorted, so each doc's postings are a contiguous
+                # run; its length is the doc's distinct-shingle count
+                rs = np.flatnonzero(np.r_[True, useg[1:] != useg[:-1]])
+                cnts = np.diff(np.r_[rs, useg.size]).astype(np.int32)
+                cols.append(pa.array(np.repeat(cnts, cnts)))
+            cols.append(sh.take(pa.array(first_idx)))
+            names = [id_col, "sz", "shingle"] if with_size else [id_col, "shingle"]
+            yield pa.record_batch(cols, names=names)
+
+    schema = (
+        f"{id_col} {id_t}, sz int, shingle string"
+        if with_size
+        else f"{id_col} {id_t}, shingle string"
+    )
+    return toks_df.mapInArrow(gen, schema)
+
+
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Distinct n-token shingles per document (lowercased, whitespace
-    tokens). transform over a token array — no Python."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    # docs shorter than n tokens emit NO shingles (a partial shingle would
-    # both diverge from the DuckDB oracle and make 2-token docs
-    # Jaccard-comparable via malformed grams) — gate on token count up
-    # front instead of re-splitting every emitted shingle to check it
-    sh = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return _spread(docs).select(
-        F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
-    )
+    tokens) — JVM tokenize, Arrow shingle+distinct (see _arrow_shingles)."""
+    return _arrow_shingles(docs, n, text_col, id_col, with_size=False)
 
 
 def minhash_signatures(
@@ -204,39 +270,64 @@ def minhash_lsh_candidates(
             if not ids_l:
                 return
             ids = np.concatenate(ids_l)
-            toks = pa.chunked_array(sh_l).combine_chunks().to_pylist()
-            cache: dict[str, tuple] = {}
-
-            def sig(s):
-                v = cache.get(s)
-                if v is None:
-                    h0 = hashlib.md5(s.encode("utf-8")).hexdigest()
-                    v = tuple(
-                        hashlib.md5((str(k) + h0).encode()).hexdigest()
-                        for k in range(nh)
-                    )
-                    cache[s] = v
-                return v
-
-            out_id, out_band, out_key = [], [], []
-            i, n = 0, len(ids)
-            while i < n:
-                did = ids[i]
-                mins = list(sig(toks[i]))
-                j = i + 1
-                while j < n and ids[j] == did:
-                    v = sig(toks[j])
-                    for k in range(nh):
-                        if v[k] < mins[k]:
-                            mins[k] = v[k]
-                    j += 1
-                for b in range(nb):
-                    out_id.append(did)
-                    out_band.append(b)
-                    out_key.append(",".join(sorted(mins[b * rpb:(b + 1) * rpb])))
-                i = j
+            # Python touches only the DISTINCT shingles (the Arrow
+            # dictionary), never the posting rows: the previous version
+            # to_pylist'ed every posting and ran a per-posting Python
+            # min-loop (8 tuple compares × millions of rows); everything
+            # per-posting below is numpy (round 6, guide §4.2)
+            dic = pa.chunked_array(sh_l).combine_chunks().dictionary_encode()
+            codes = dic.indices.to_numpy(zero_copy_only=False)
+            vocab = dic.dictionary.to_pylist()
+            # 9 md5 hexdigests per distinct shingle; hex order == the
+            # numeric order of the 128-bit value, carried exactly as a
+            # (hi64, lo64) pair for the vectorized min below
+            sig_s = np.empty((len(vocab), nh), dtype="S32")
+            sig_hi = np.empty((len(vocab), nh), dtype=np.uint64)
+            sig_lo = np.empty((len(vocab), nh), dtype=np.uint64)
+            for vi, s in enumerate(vocab):
+                h0 = hashlib.md5(s.encode("utf-8")).hexdigest()
+                for k in range(nh):
+                    d = hashlib.md5((str(k) + h0).encode()).hexdigest()
+                    sig_s[vi, k] = d
+                    sig_hi[vi, k] = int(d[:16], 16)
+                    sig_lo[vi, k] = int(d[16:], 16)
+            # doc segments: explode preserves input-row order, so each
+            # doc's postings are one contiguous run (same assumption the
+            # previous per-row loop relied on)
+            seg_bounds = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+            seg_sizes = np.diff(np.r_[seg_bounds, ids.size])
+            seg = np.repeat(
+                np.arange(seg_bounds.size, dtype=np.int32), seg_sizes
+            )
+            doc_ids = ids[seg_bounds]
+            # exact per-doc lexicographic min of each hash column: stable
+            # sort by (doc, hi, lo) leaves every doc block's minimum at
+            # the block start, which sits at the same offset seg_bounds[d]
+            # because block sizes are unchanged by the permutation
+            ph, pl = sig_hi[codes], sig_lo[codes]
+            mins_s = np.empty((doc_ids.size, nh), dtype="S32")
+            for k in range(nh):
+                order = np.lexsort((pl[:, k], ph[:, k], seg))
+                mins_s[:, k] = sig_s[codes[order[seg_bounds]], k]
+            # band keys: sort the band's hex strings (bytes sort == the
+            # UTF8/ASCII order Python sorted() used) and comma-join with
+            # numpy byte-string concat — no per-doc Python
+            key_cols = []
+            for b in range(nb):
+                blk = np.sort(mins_s[:, b * rpb:(b + 1) * rpb], axis=1)
+                key = blk[:, 0]
+                for r in range(1, rpb):
+                    key = np.char.add(np.char.add(key, b","), blk[:, r])
+                key_cols.append(key)
+            out_id = np.repeat(doc_ids, nb)
+            out_band = np.tile(np.arange(nb, dtype=np.int32), doc_ids.size)
+            out_key = np.stack(key_cols, axis=1).ravel()
             yield pa.record_batch(
-                [pa.array(out_id), pa.array(out_band, type=pa.int32()), pa.array(out_key)],
+                [
+                    pa.array(out_id),
+                    pa.array(out_band, type=pa.int32()),
+                    pa.array(out_key).cast(pa.string()),
+                ],
                 names=[id_col, "band", "band_key"],
             )
 
@@ -304,37 +395,10 @@ def _shingles_sized(
     docs: DataFrame, n: int, text_col: str, id_col: str
 ) -> DataFrame:
     """(id, sz, shingle) rows where ``sz`` is the doc's distinct-shingle
-    count. The distinct-shingle array is materialized ONCE per doc in a
-    projection below the Generate, so the size comes for free from
-    ``F.size`` — this replaces the previous ``count(*) over
-    (partition by doc_id)`` window, which shuffled and SORTED the whole
-    exploded shingle table just to recover a number already known at the
-    array stage (guide §2.4: remove shuffles outright)."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    sh = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = _spread(docs.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), F.array_distinct(sh).alias("__sh")
-    )
-    # explode_outer + not-null, NOT plain explode: with the array as a
-    # materialized attribute, InferFiltersFromGenerate would synthesize a
-    # ``size(__sh) > 0`` filter, substitute the full shingle expression
-    # back into it, and push it below the spread exchange — re-running
-    # the whole tokenize+transform+distinct pipeline serially inside the
-    # one-split scan (measured 61 s vs 4 s at sf1.0). The rule skips
-    # outer generates; concat_ws never yields null elements, so the
-    # not-null filter drops exactly the zero-shingle docs plain explode
-    # would have dropped.
-    return base.select(
-        F.col(id_col),
-        F.size("__sh").alias("sz"),
-        F.explode_outer("__sh").alias("shingle"),
-    ).filter(F.col("shingle").isNotNull())
+    count — JVM tokenize, Arrow shingle+distinct+count in one pass (see
+    _arrow_shingles; the size falls out of the distinct run lengths, no
+    window, no second evaluation)."""
+    return _arrow_shingles(docs, n, text_col, id_col, with_size=True)
 
 
 def ngram_jaccard_pairs(
