@@ -69,6 +69,16 @@ def canonical_candidates(
     """
     from ..functions.urls import with_canonical_url
 
+    if priority is None and discovered_at is None:
+        # the defaulted priority/discovered_at derive only from url_hash
+        # and every output column is rebuilt from url/url_canon, so the
+        # canonicalize barrier (opaque to column pruning, guide §4.1)
+        # should carry ONLY the url column — harvest lineage
+        # (doc_id, span_order) would otherwise ride through the Python
+        # worker and die unread at the min_by dedup. Callers that inject
+        # custom priority columns may reference other input columns, so
+        # those keep the full row.
+        urls = urls.select(url_col)
     c = with_canonical_url(urls, url_col)
     c = c.filter(url_filter_ok(F.col("url_canon")))
     c = c.withColumn("url_hash", url_hash64("url_canon")).withColumn(
