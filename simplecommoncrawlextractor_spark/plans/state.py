@@ -373,9 +373,29 @@ class StateStore:
         part files BEFORE it publishes the manifest that references
         them, so a zero-grace sweep racing such a commit would delete
         the new snapshot's data (Iceberg's ``remove_orphan_files`` has
-        the same ``older_than`` guard for the same reason). Returns
+        the same ``older_than`` guard for the same reason). The age is
+        the NEWEST mtime found anywhere under the part tree, not the
+        top-level directory's: for a partitioned part, writing a file
+        into an existing subdirectory does not touch the top directory,
+        so a large commit could look hours old at the top while still
+        actively writing below. As with Iceberg's guidance,
+        ``orphan_grace_sec`` must still exceed the maximum expected
+        write-to-publish span of a commit. Returns
         {"expired": [...], "removed": [...part dirs...]}.
         """
+
+        def newest_mtime(path: str) -> float:
+            newest = os.path.getmtime(path)
+            for walk_root, dirs, files in os.walk(path):
+                for nm in dirs + files:
+                    try:
+                        newest = max(
+                            newest, os.path.getmtime(os.path.join(walk_root, nm))
+                        )
+                    except OSError:
+                        pass  # vanished mid-scan (concurrent GC/commit)
+            return newest
+
         cur = self.snapshot_id()
         sids = self.snapshots()
         keep = set(sids[-keep_last:]) if keep_last > 0 else set()
@@ -409,7 +429,7 @@ class StateStore:
                 if rel not in referenced:
                     pdir = os.path.join(tdir, part)
                     try:
-                        age = time.time() - os.path.getmtime(pdir)
+                        age = time.time() - newest_mtime(pdir)
                     except OSError:
                         continue  # vanished mid-scan (concurrent GC/commit)
                     if age < orphan_grace_sec:

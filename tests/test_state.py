@@ -563,11 +563,30 @@ def test_expire_snapshots_orphan_grace(spark, tmp_path):
         f.write(b"x")
     out = store.expire_snapshots(keep_last=1)  # default grace
     assert "t/v999" not in out["removed"] and os.path.isdir(inflight)
-    # age it past the grace: now it is a true orphan
+    # age it past the grace: now it is a true orphan. The sweep uses the
+    # NEWEST mtime under the whole part tree (a partitioned part's
+    # subdirectory writes don't touch the top directory — ADVICE r5), so
+    # an abandoned part means every entry stopped changing: age them all.
     old = 1.0
+    for walk_root, dirs, files in os.walk(inflight):
+        for nm in dirs + files:
+            os.utime(os.path.join(walk_root, nm), (old, old))
     os.utime(inflight, (old, old))
     out2 = store.expire_snapshots(keep_last=1)
     assert "t/v999" in out2["removed"] and not os.path.exists(inflight)
+    # a part whose top dir looks old but whose files are still being
+    # written (large partitioned commit) must SURVIVE the default sweep
+    os.makedirs(inflight)
+    sub = os.path.join(inflight, "host=a")
+    os.makedirs(sub)
+    with open(os.path.join(sub, "part-0.parquet"), "wb") as f:
+        f.write(b"x")
+    os.utime(inflight, (old, old))  # top stale, file fresh
+    out3 = store.expire_snapshots(keep_last=1)
+    assert "t/v999" not in out3["removed"] and os.path.isdir(inflight)
+    import shutil as _sh
+
+    _sh.rmtree(inflight)
     # zero grace also sweeps a fresh orphan
     os.makedirs(inflight)
     out3 = store.expire_snapshots(keep_last=1, orphan_grace_sec=0)
