@@ -278,19 +278,15 @@ def minhash_lsh_candidates(
             dic = pa.chunked_array(sh_l).combine_chunks().dictionary_encode()
             codes = dic.indices.to_numpy(zero_copy_only=False)
             vocab = dic.dictionary.to_pylist()
-            # 9 md5 hexdigests per distinct shingle; hex order == the
-            # numeric order of the 128-bit value, carried exactly as a
-            # (hi64, lo64) pair for the vectorized min below
+            # 9 md5 hexdigests per distinct shingle; lowercase-hex order
+            # == byte order of the hex string itself, so the S32 array
+            # doubles as the exact sort key for the vectorized min below
+            # (no per-digest int conversions)
             sig_s = np.empty((len(vocab), nh), dtype="S32")
-            sig_hi = np.empty((len(vocab), nh), dtype=np.uint64)
-            sig_lo = np.empty((len(vocab), nh), dtype=np.uint64)
             for vi, s in enumerate(vocab):
                 h0 = hashlib.md5(s.encode("utf-8")).hexdigest()
                 for k in range(nh):
-                    d = hashlib.md5((str(k) + h0).encode()).hexdigest()
-                    sig_s[vi, k] = d
-                    sig_hi[vi, k] = int(d[:16], 16)
-                    sig_lo[vi, k] = int(d[16:], 16)
+                    sig_s[vi, k] = hashlib.md5((str(k) + h0).encode()).hexdigest()
             # doc segments: explode preserves input-row order, so each
             # doc's postings are one contiguous run (same assumption the
             # previous per-row loop relied on)
@@ -300,15 +296,15 @@ def minhash_lsh_candidates(
                 np.arange(seg_bounds.size, dtype=np.int32), seg_sizes
             )
             doc_ids = ids[seg_bounds]
-            # exact per-doc lexicographic min of each hash column: stable
-            # sort by (doc, hi, lo) leaves every doc block's minimum at
+            # exact per-doc min of each hash column: stable sort by
+            # (doc, hex-digest bytes) leaves every doc block's minimum at
             # the block start, which sits at the same offset seg_bounds[d]
             # because block sizes are unchanged by the permutation
-            ph, pl = sig_hi[codes], sig_lo[codes]
+            ps = sig_s[codes]
             mins_s = np.empty((doc_ids.size, nh), dtype="S32")
             for k in range(nh):
-                order = np.lexsort((pl[:, k], ph[:, k], seg))
-                mins_s[:, k] = sig_s[codes[order[seg_bounds]], k]
+                order = np.lexsort((ps[:, k], seg))
+                mins_s[:, k] = ps[order[seg_bounds], k]
             # band keys: sort the band's hex strings (bytes sort == the
             # UTF8/ASCII order Python sorted() used) and comma-join with
             # numpy byte-string concat — no per-doc Python
