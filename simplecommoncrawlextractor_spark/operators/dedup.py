@@ -545,30 +545,70 @@ def ngram_jaccard_pairs(
         if not ca.size:
             return
         # partial-group by id_a: one output row per distinct id_a in this
-        # task, carrying its b-side as Arrow list columns built straight
-        # from the flat numpy buffers (offsets + values, no per-row copy)
+        # task, carrying its b-side either as raw-byte BINARY cells
+        # (integer ids — the data buffer IS the flat numpy array, and the
+        # JVM exchange / Arrow boundary move one blob per row instead of
+        # serializing array elements; guide §4.2's offsets-over-one-
+        # buffer trick) or as Arrow list columns (string/other ids)
         o2 = np.argsort(ca, kind="stable")
         ca, sz_a, cb, sz_b = ca[o2], sz_a[o2], cb[o2], sz_b[o2]
         rs = np.flatnonzero(np.r_[True, ca[1:] != ca[:-1]])
-        off = pa.array(np.concatenate([rs, [ca.size]]).astype(np.int32))
-        yield pa.record_batch(
-            [
-                pa.array(uid[ca[rs]]),
-                pa.array(sz_a[rs]),
-                pa.ListArray.from_arrays(off, pa.array(uid[cb])),
-                pa.ListArray.from_arrays(off, pa.array(sz_b)),
-            ],
-            names=["id_a", "sz_a", "b_ids", "b_szs"],
-        )
+        bnd = np.concatenate([rs, [ca.size]])
+        if int_ids:
+            ids_flat = np.ascontiguousarray(uid[cb].astype(np.int64, copy=False))
+            szs_flat = np.ascontiguousarray(sz_b)
+            nrows = rs.size
+            bb_ids = pa.Array.from_buffers(
+                pa.binary(), nrows,
+                [None, pa.py_buffer((bnd * 8).astype(np.int32)), pa.py_buffer(ids_flat)],
+            )
+            bb_szs = pa.Array.from_buffers(
+                pa.binary(), nrows,
+                [None, pa.py_buffer((bnd * 4).astype(np.int32)), pa.py_buffer(szs_flat)],
+            )
+            yield pa.record_batch(
+                [pa.array(uid[ca[rs]]), pa.array(sz_a[rs]), bb_ids, bb_szs],
+                names=["id_a", "sz_a", "b_ids", "b_szs"],
+            )
+        else:
+            off = pa.array(bnd.astype(np.int32))
+            yield pa.record_batch(
+                [
+                    pa.array(uid[ca[rs]]),
+                    pa.array(sz_a[rs]),
+                    pa.ListArray.from_arrays(off, pa.array(uid[cb])),
+                    pa.ListArray.from_arrays(off, pa.array(sz_b)),
+                ],
+                names=["id_a", "sz_a", "b_ids", "b_szs"],
+            )
 
     # sizes cross the exchange as int (Spark `size()` is IntegerType by
     # construction, so int32 is lossless) — 4 fewer bytes per pair
     # instance through the shuffle (guide §2.3); the query's public
-    # schema is restored by the final cast below
+    # schema is restored by the final cast below. Integer-id corpora
+    # pack the b-side as binary blobs (see gen_pairs).
+    int_ids = id_t in ("bigint", "int", "smallint", "tinyint")
+    b_schema = (
+        "b_ids binary, b_szs binary"
+        if int_ids
+        else f"b_ids array<{id_t}>, b_szs array<int>"
+    )
     st1 = sh.repartition(n_part, "shingle").mapInArrow(
         gen_pairs,
-        f"id_a {id_t}, sz_a int, b_ids array<{id_t}>, b_szs array<int>",
+        f"id_a {id_t}, sz_a int, {b_schema}",
     )
+
+    def _binary_flat(col, itemsize, dtype):
+        """Decode a BinaryArray of packed fixed-width values into (flat
+        ndarray in row order, per-row element counts) without touching
+        Python per row: binary payloads are contiguous in row order in
+        the data buffer, so one np.frombuffer over the offset span is
+        the whole flatten."""
+        raw_off = np.frombuffer(col.buffers()[1], dtype=np.int32)
+        off = raw_off[col.offset : col.offset + len(col) + 1].astype(np.int64)
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        flat = data[off[0] : off[-1]].view(dtype)
+        return flat, np.diff(off) // itemsize
 
     def count_pairs(batches):
         a_l, sa_l, b_l, sb_l = [], [], [], []
@@ -576,11 +616,18 @@ def ngram_jaccard_pairs(
             if not rb.num_rows:
                 continue
             bl, bs = rb.column(2), rb.column(3)
-            lens = np.diff(bl.offsets.to_numpy(zero_copy_only=False))
+            if int_ids:
+                bflat, lens = _binary_flat(bl, 8, "<i8")
+                sflat, _ = _binary_flat(bs, 4, "<i4")
+                ids_dtype = _np(rb.column(0)).dtype
+                b_l.append(bflat.astype(ids_dtype, copy=False))
+                sb_l.append(sflat)
+            else:
+                lens = np.diff(bl.offsets.to_numpy(zero_copy_only=False))
+                b_l.append(_np(bl.flatten()))
+                sb_l.append(_np(bs.flatten()))
             a_l.append(np.repeat(_np(rb.column(0)), lens))
             sa_l.append(np.repeat(_np(rb.column(1)), lens))
-            b_l.append(_np(bl.flatten()))
-            sb_l.append(_np(bs.flatten()))
         if not a_l:
             return
         A, SA = np.concatenate(a_l), np.concatenate(sa_l)
